@@ -1,0 +1,259 @@
+"""Text→Text method family (SURVEY.md §2.9 M1-M3).
+
+Reference sources: SameInputOutputMethod.py:6-22, InputWithoutSpaces.py:6-19,
+RegexMethod.py:13-34, NoSpacesRegexMethod.py:13-40,
+RegexSubtractionMethod.py:13-96, DateParserMethod.py:32-90,
+DateParserWithBreaksMethod.py:7-41. Regex induction uses our from-scratch
+rexpy_lite (the reference depends on tdda's rexpy).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import pandas as pd
+
+from ..domain import ExtractionContext
+from ..functions import rexpy_lite
+from ..functions.dates import (
+    DOTTED_DATE_PATTERN,
+    DOTTED_DMY_LANGUAGES,
+    get_best_date,
+    search_dates,
+)
+from .base import MethodBase, input_texts_by_lines
+
+
+def _rows(pdf: pd.DataFrame):
+    return (row for _, row in pdf.iterrows())
+
+
+class SameInputOutputMethod(MethodBase):
+    kind = "to_text"
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        return pd.Series(
+            [" ".join(" ".join(input_texts_by_lines(row)).split()) for _, row in pdf.iterrows()],
+            index=pdf.index,
+            dtype=object,
+        )
+
+
+class InputWithoutSpaces(MethodBase):
+    kind = "to_text"
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        return pd.Series(
+            ["".join("".join(input_texts_by_lines(row)).split()) for _, row in pdf.iterrows()],
+            index=pdf.index,
+            dtype=object,
+        )
+
+
+class RegexMethod(MethodBase):
+    """Induce anchored regexes from label texts; predict = first regex in
+    list order whose re.search matches (first-match-wins is sequential —
+    kept inside the batch kernel, SURVEY.md §7.4)."""
+
+    kind = "to_text"
+
+    def fit(self, train_pdf, ctx) -> dict[str, Any]:
+        samples = [x for x in train_pdf["label_text"].tolist() if x]
+        regex_list = [r[1:-1] for r in rexpy_lite.extract(samples)]
+        return {"regex_list": regex_list}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        regex_list = [re.compile(r) for r in artifact.get("regex_list", [])]
+        out = []
+        for _, row in pdf.iterrows():
+            text = " ".join(input_texts_by_lines(row))
+            prediction = ""
+            for regex in regex_list:
+                match = regex.search(text)
+                if match:
+                    prediction = str(match.group())
+                    break
+            out.append(prediction)
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
+class NoSpacesRegexMethod(MethodBase):
+    """Like RegexMethod but only trains when no label contains spaces, and
+    matches against the space-stripped input (NoSpacesRegexMethod.py:13-40)."""
+
+    kind = "to_text"
+
+    def fit(self, train_pdf, ctx) -> dict[str, Any]:
+        samples = [x for x in train_pdf["label_text"].tolist() if x and x.strip()]
+        if any(" " in s for s in samples):
+            return {"regex_list": []}
+        regex_list = [r[1:-1] for r in rexpy_lite.extract(samples)]
+        return {"regex_list": regex_list}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        regex_list = [re.compile(r) for r in artifact.get("regex_list", [])]
+        out = []
+        for _, row in pdf.iterrows():
+            text = " ".join(input_texts_by_lines(row)).replace(" ", "")
+            prediction = ""
+            for regex in regex_list:
+                match = regex.search(text)
+                if match:
+                    prediction = str(match.group())
+                    break
+            out.append(prediction)
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
+class RegexSubtractionMethod(MethodBase):
+    """Learn boundary regexes from (input - label) prefixes/suffixes and
+    strip them at predict (RegexSubtractionMethod.py:13-96)."""
+
+    kind = "to_text"
+
+    @staticmethod
+    def _first_subtraction(segment_text: str, text: str) -> str:
+        if not text or text not in segment_text or text == segment_text:
+            return ""
+        first_index = segment_text.find(text)
+        if not first_index:
+            return ""
+        return segment_text[:first_index]
+
+    @staticmethod
+    def _last_subtraction(segment_text: str, text: str) -> str:
+        if not text or text not in segment_text or text == segment_text:
+            return ""
+        first_index = segment_text.find(text) + len(text)
+        if not first_index:
+            return ""
+        return segment_text[first_index:]
+
+    def can_be_used(self, train_pdf, ctx) -> bool:
+        head = train_pdf.head(20)
+        fronts, backs = [], []
+        for _, row in head.iterrows():
+            joined = " ".join(input_texts_by_lines(row))
+            label = row.get("label_text") or ""
+            front = self._first_subtraction(joined, label)
+            back = self._last_subtraction(joined, label)
+            if front:
+                fronts.append(front)
+            if back:
+                backs.append(back)
+        return len(rexpy_lite.extract(fronts)) <= 4 and len(rexpy_lite.extract(backs)) <= 4
+
+    def fit(self, train_pdf, ctx) -> dict[str, Any]:
+        fronts, backs = [], []
+        for _, row in train_pdf.head(500).iterrows():
+            joined = " ".join(input_texts_by_lines(row))
+            label = row.get("label_text") or ""
+            front = self._first_subtraction(joined, label)
+            back = self._last_subtraction(joined, label)
+            if front:
+                fronts.append(front)
+            if back:
+                backs.append(back)
+        # reference keeps the leading '^' on front regexes ([: -1] strips '$')
+        # and the trailing '$' on back regexes ([1:] strips '^').
+        front_regex_list = [r[:-1] for r in rexpy_lite.extract(fronts)]
+        back_regex_list = [r[1:] for r in rexpy_lite.extract(backs)]
+        return {"regex_list": front_regex_list + back_regex_list}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        regex_list = artifact.get("regex_list", [])
+        out = []
+        for _, row in pdf.iterrows():
+            prediction = " ".join(input_texts_by_lines(row))
+            for regex in regex_list:
+                matches = re.search(regex, prediction)
+                if matches and not matches.start():
+                    prediction = prediction[matches.end():]
+                    continue
+                if matches and matches.end() == len(prediction):
+                    prediction = prediction[: matches.start()]
+            out.append(prediction.strip())
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
+class DateParserMethod(MethodBase):
+    """Multi-language date search; validity probed on <=15 labeled rows at
+    fit (DateParserMethod.py:59-71); predict emits %Y-%m-%d."""
+
+    kind = "to_text"
+
+    @staticmethod
+    def get_date(tags_texts: list[str], languages: list[str]):
+        if not tags_texts:
+            return None
+        text = " ".join(tags_texts)
+        langs = [l for l in languages if l]
+        dates = search_dates(text, langs or None)
+        if langs and any(l in DOTTED_DMY_LANGUAGES for l in langs) and DOTTED_DATE_PATTERN.search(text):
+            de_dates = []
+            for match in DOTTED_DATE_PATTERN.findall(text):
+                de_dates.extend(search_dates(match, ["de"]))
+            if de_dates:
+                dates = de_dates + (dates or [])
+        if not dates:
+            dates = search_dates(text)
+        return get_best_date(dates)
+
+    def fit(self, train_pdf, ctx) -> dict[str, Any]:
+        languages = [x or "" for x in train_pdf.get("language_iso", pd.Series(dtype=object)).tolist()]
+        for label in train_pdf["label_text"].head(15).tolist():
+            if not (label or "").strip():
+                continue
+            if not self.get_date([label], languages):
+                return {"is_valid": False, "languages": []}
+        return {"is_valid": True, "languages": sorted(set(languages))}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        if not artifact.get("is_valid", False):
+            return pd.Series([""] * len(pdf), index=pdf.index, dtype=object)
+        languages = artifact.get("languages", [])
+        out = []
+        for _, row in pdf.iterrows():
+            date = self.get_date(input_texts_by_lines(row), languages)
+            out.append(date.strftime("%Y-%m-%d") if date else "")
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
+class DateParserWithBreaksMethod(DateParserMethod):
+    """Variant scoring line-broken text first (DateParserWithBreaksMethod.py:7-41)."""
+
+    @staticmethod
+    def get_date(tags_texts: list[str], languages: list[str]):
+        if not tags_texts:
+            return None
+        text = " ".join(tags_texts)
+        text_with_breaks = "\n".join(tags_texts)
+        langs = [l for l in languages if l]
+        dates = search_dates(text_with_breaks, langs or None) or []
+        dates_without_breaks = search_dates(text, langs or None)
+        if dates_without_breaks:
+            dates = dates + dates_without_breaks
+        if langs and any(l in DOTTED_DMY_LANGUAGES for l in langs) and DOTTED_DATE_PATTERN.search(text):
+            de_dates = []
+            for match in DOTTED_DATE_PATTERN.findall(text):
+                de_dates.extend(search_dates(match, ["de"]))
+            if de_dates:
+                dates = de_dates + (dates or [])
+        if not dates:
+            dates = search_dates(text_with_breaks)
+        return get_best_date(dates)
+
+
+TEXT_TO_TEXT_METHODS: list[type[MethodBase]] = [
+    SameInputOutputMethod,
+    InputWithoutSpaces,
+    RegexMethod,
+    NoSpacesRegexMethod,
+    RegexSubtractionMethod,
+    DateParserWithBreaksMethod,
+    DateParserMethod,
+    # GlinerDateParser / NerFirst / NerLast / Gemini / Ollama / MT5 slots:
+    # external models or network services (reference M4/M8/M9) — registered
+    # as absent in this build; tournament functions without them.
+]

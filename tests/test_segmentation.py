@@ -1,0 +1,54 @@
+"""Stage A invariants: deterministic generation, byte-identical extraction
+per url (BASELINE.json input_hint), and reproducibility across parallelism.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trainable_entity_extractor_spark.sources.segmentation import (
+    extract_pages_text,
+    pages_to_segments,
+    py_extract_text,
+)
+from trainable_entity_extractor_spark.sources.synth_pages import synth_pages
+
+
+def test_extract_text_byte_identical_to_generated_text(spark):
+    pages = synth_pages(spark, 300, seed=42)
+    extracted = extract_pages_text(pages)
+    mismatches = extracted.filter(F.col("extracted_text") != F.col("text")).count()
+    assert mismatches == 0
+
+
+def test_generation_deterministic_across_parallelism(spark):
+    a = synth_pages(spark, 200, seed=42, partitions=1).orderBy("url").collect()
+    b = synth_pages(spark, 200, seed=42, partitions=13).orderBy("url").collect()
+    assert a == b
+
+
+def test_py_extract_text_pure():
+    html = b"<html><head><style>p{}</style></head><body><p>Hello  world</p><p>Second &amp; block</p><script>x=1</script></body></html>"
+    assert py_extract_text(html) == "Hello world\n\nSecond & block"
+    assert py_extract_text(html) == py_extract_text(html)
+    assert py_extract_text(None) == ""
+    assert py_extract_text(b"no tags at all") == "no tags at all"
+
+
+def test_segments_table_shape(spark):
+    pages = synth_pages(spark, 50, seed=42)
+    segments = pages_to_segments(pages)
+    pdf = segments.toPandas()
+    assert set(pdf.columns) == {
+        "url", "seg_idx", "page", "left", "top", "width", "height",
+        "seg_type", "text", "ml_label",
+    }
+    # every page contributes 3-7 segments, reading order within url
+    counts = pdf.groupby("url")["seg_idx"].agg(["count", "max"])
+    assert (counts["count"] == counts["max"] + 1).all()
+    assert counts["count"].between(3, 7).all()
+
+
+def test_hot_domain_skew_present(spark):
+    pages = synth_pages(spark, 2000, seed=42)
+    hot = pages.filter(F.col("url").contains("hot-")).count()
+    assert 0.15 * 2000 < hot < 0.25 * 2000

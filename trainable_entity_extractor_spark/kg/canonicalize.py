@@ -1,0 +1,90 @@
+"""Stage E: canonicalization — connected components over the similarity
+edges via iterative DataFrame label propagation (hash-min), with
+deterministic tie-breaking (lexicographic min id) and lineage truncation
+per iteration (north_rule; SURVEY §7.3: GraphFrames is external, so the
+loop is plain DataFrame joins).
+
+Scale notes: each iteration is one shuffle (groupBy min over neighbor
+labels). Convergence is O(diameter) iterations; localCheckpoint every
+iteration truncates the logical plan so Catalyst doesn't re-analyze an
+ever-growing lineage. Hot vertices (high-degree hubs from frequent surface
+forms) are bounded upstream by the LSH block cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """edges(a,b) → (id, component) where component = min id in component.
+
+    Hash-min label propagation: every vertex repeatedly adopts the min
+    label among itself and its neighbors until fixpoint.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # candidate label per vertex: min over neighbors' current labels
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("u", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(mentions: DataFrame, edges: DataFrame, id_col: str = "mention_id", text_col: str = "mention") -> DataFrame:
+    """mentions + edges → (mention_id, entity_id, canonical). Singleton
+    mentions form their own entity; canonical surface form = the
+    lexicographically smallest mention text in the component
+    (deterministic)."""
+    comps = connected_components(edges)
+    assigned = mentions.join(
+        comps.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("entity_id", F.coalesce(F.col("component"), F.col(id_col)))
+
+    canon = assigned.groupBy("entity_id").agg(F.min(text_col).alias("canonical"))
+    return (
+        assigned.join(canon, "entity_id")
+        .select(id_col, "entity_id", text_col, "canonical")
+    )

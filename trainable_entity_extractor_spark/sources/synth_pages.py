@@ -56,18 +56,30 @@ def synth_pages(spark: SparkSession, n_rows: int, seed: int = 42, partitions: in
         F.pmod(h("dom"), 5) == 0, _pick(HOT_DOMAINS, h("hotdom"))
     ).otherwise(F.concat(F.lit("site"), F.pmod(h("site"), 97).cast("string"), F.lit(".example")))
 
-    n_segs = (F.pmod(h("nseg"), 5) + 3).cast("int")
+    # ~1/7 of pages are near-duplicates of an earlier "base" page (Common-
+    # Crawl boilerplate analog): content derives from cid, with one word
+    # perturbed, so MinHash linking has true near-dup families to find.
+    is_dup = F.pmod(h("dup"), 7) == 0
+    cid = F.when(is_dup, i - F.pmod(i, F.lit(37))).otherwise(i)
+    hc = lambda salt: F.abs(F.hash(cid, F.lit(seed), F.lit(salt)))
+
+    n_segs = (F.pmod(hc("nseg"), 5) + 3).cast("int")
 
     def seg_text(seg_idx: Column) -> Column:
-        n_words = F.pmod(F.abs(F.hash(i, seg_idx, F.lit(seed), F.lit("nw"))), 16) + 8
+        n_words = F.pmod(F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("nw"))), 16) + 8
         words = F.transform(
             F.sequence(F.lit(0), (n_words - 1).cast("int")),
-            lambda w: _pick(WORDS, F.abs(F.hash(i, seg_idx, w, F.lit(seed), F.lit("w")))),
+            lambda w: _pick(WORDS, F.abs(F.hash(cid, seg_idx, w, F.lit(seed), F.lit("w")))),
         )
         base = F.array_join(words, " ")
-        phrase_roll = F.pmod(F.abs(F.hash(i, seg_idx, F.lit(seed), F.lit("ph"))), 100)
-        phrase = _pick(PHRASES, F.abs(F.hash(i, seg_idx, F.lit(seed), F.lit("phx"))))
-        return F.when(phrase_roll < 35, F.concat(base, F.lit(" "), phrase)).otherwise(base)
+        phrase_roll = F.pmod(F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("ph"))), 100)
+        phrase = _pick(PHRASES, F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("phx"))))
+        text = F.when(phrase_roll < 35, F.concat(base, F.lit(" "), phrase)).otherwise(base)
+        # perturb duplicates: tweak the first word on segment 0 only
+        return F.when(
+            is_dup & (seg_idx == 0),
+            F.concat(F.lit("rev"), F.pmod(i, F.lit(37)).cast("string"), F.lit(" "), text),
+        ).otherwise(text)
 
     segs = F.transform(F.sequence(F.lit(0), (n_segs - 1).cast("int")), seg_text)
 

@@ -33,49 +33,54 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
 
-    # size-adaptive parallelism: tiny graphs shouldn't pay 32-task-per-job
+    # size-adaptive parallelism: tiny graphs shouldn't pay wide-shuffle
     # scheduling overhead; large graphs keep the session's shuffle width.
+    # The loop's own shuffles are pinned to this width for its duration.
     n_edges = sym.count()
     spark = edges.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(width, n_edges // 50_000 + 1))
     sym = sym.repartition(parts, "u").localCheckpoint(eager=True)
 
-    labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = (
+            sym.select(F.col("u").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
 
-    for _ in range(max_iter):
-        # candidate label per vertex: min over neighbors' current labels
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("id", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_component"))
-            .withColumnRenamed("u", "id")
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+        for _ in range(max_iter):
+            # candidate label per vertex: min over neighbors' current labels
+            neighbor_min = (
+                sym.join(labels.withColumnRenamed("id", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("component").alias("nbr_component"))
+                .withColumnRenamed("u", "id")
             )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            # carry a change flag out of the same join — the convergence
+            # check then only scans the (tiny, checkpointed) result instead
+            # of paying another join job per iteration.
+            new_min = F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    new_min.alias("new_component"),
+                    (new_min != F.col("component")).alias("_changed"),
+                )
+                .withColumnRenamed("new_component", "component")
+            ).localCheckpoint(eager=True)
+            changed = new_labels.filter("_changed").limit(1).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     return labels
 
 

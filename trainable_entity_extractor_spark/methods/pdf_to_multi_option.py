@@ -144,6 +144,112 @@ class FuzzyLastCleanLabel(_FuzzyCleanLabelBase):
     reverse = True
 
 
+def _commas_clean(text: str, sort_words: bool) -> str:
+    """FuzzyCommas.clean_text:78-88: lower, alnum+space only, optional
+    word sort."""
+    text = text.lower()
+    text = "".join(c for c in text if c.isalnum() or c == " ")
+    words = text.split()
+    return " ".join(sorted(words) if sort_words else words)
+
+
+class FuzzyCommas(_FuzzyBase):
+    """J5: comma/colon/' and '-split alias join with learned alias dict
+    (FuzzyCommas.py:25-170). threshold 92; length band 0.92-1.2x; alias
+    fallback scored with full-ratio; aliases learned from labeled
+    (ml_label=1) segments at fit."""
+
+    threshold = 92.0
+
+    import re as _re
+
+    SPLIT_RE = _re.compile(r",|:| and ")
+
+    def _variants(self, ctx):
+        options_cleaned = [_commas_clean(o.label, False) for o in ctx.options]
+        options_sorted_words = [_commas_clean(o.label, True) for o in ctx.options]
+        return options_cleaned, options_sorted_words
+
+    def _appearances_for_segments(self, segments, ctx, aliases):
+        """Returns (appearances [(cleaned_label, context)], not_found_texts).
+        Reference quirk kept: the duplicate check compares an Appearance
+        list against a plain string, which never matches — so repeats are
+        emitted (FuzzyCommas.get_appearances_for_segments:48-56)."""
+        options_cleaned, options_sorted = self._variants(ctx)
+        sorted_by_len = sorted(options_sorted, key=lambda x: -len(x))
+        cleaned_by_len = sorted(options_cleaned, key=lambda x: -len(x))
+        appearances = []
+        not_found = []
+        for seg in segments:
+            text = seg.get("text") or ""
+            pieces = [p for raw in self.SPLIT_RE.split(text) if (p := _commas_clean(raw, False))]
+            for piece in pieces:
+                found = self._match_one(piece, sorted_by_len, cleaned_by_len, options_cleaned, options_sorted, aliases)
+                if found:
+                    appearances.append((found, text))
+                else:
+                    not_found.append(piece)
+        return appearances, not_found
+
+    def _match_one(self, text, sorted_by_len, cleaned_by_len, options_cleaned, options_sorted, aliases):
+        from ..functions.fuzzy import indel_ratio, partial_ratio
+
+        cleaned_sorted_text = _commas_clean(text, True)
+        for option in sorted_by_len:
+            if len(text) < len(option) * 0.92 or len(text) > len(option) * 1.2:
+                continue
+            if partial_ratio(option, cleaned_sorted_text, self.threshold) >= self.threshold:
+                return options_cleaned[options_sorted.index(option)]
+        for option in cleaned_by_len:
+            for alias in aliases.get(option, []):
+                if indel_ratio(alias, text) > self.threshold:
+                    return option
+        return ""
+
+    def fit(self, train_pdf, ctx):
+        from ..functions.fuzzy import partial_ratio
+
+        options_cleaned, _ = self._variants(ctx)
+        aliases: dict[str, list[str]] = {o: [] for o in options_cleaned}
+        for _, row in train_pdf.iterrows():
+            segments = [s for s in (row.get("segments") or []) if s.get("ml_label")]
+            appearances, not_found_texts = self._appearances_for_segments(segments, ctx, {})
+            found_labels = {a[0] for a in appearances}
+            value_ids = {v["id"] for v in (row.get("values") or [])}
+            truth = [
+                _commas_clean(o.label, False) for o in ctx.options if o.id in value_ids
+            ]
+            not_found_options = [o for o in truth if o not in found_labels]
+            cleaned_texts = [" ".join(t.lower().strip().split()) for t in not_found_texts]
+            sample_aliases: dict[str, str] = {}
+            for option in not_found_options:
+                for text in cleaned_texts:
+                    if partial_ratio(option, text) > 80:
+                        sample_aliases[option] = text  # last match wins (find_aliases:150-156)
+            for option, alias in sample_aliases.items():
+                aliases[option] = list(dict.fromkeys(aliases[option] + [alias]))
+        return {"aliases": aliases}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        options_cleaned, _ = self._variants(ctx)
+        label_to_option = {}
+        for clean, option in zip(options_cleaned, ctx.options):
+            label_to_option.setdefault(clean, option)
+        aliases = artifact.get("aliases", {}) or {}
+        out = []
+        for _, row in pdf.iterrows():
+            segments = [{"text": t} for t in _segment_texts(row)]
+            appearances, _nf = self._appearances_for_segments(segments, ctx, aliases)
+            out.append(
+                [
+                    label_to_option[lab].to_dict() | {"segment_text": context}
+                    for lab, context in appearances
+                    if lab in label_to_option
+                ]
+            )
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
 PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FuzzyFirst,
     FuzzyLast,

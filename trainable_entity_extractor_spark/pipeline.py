@@ -35,7 +35,12 @@ def run_pipeline(
     """Returns the stage outputs; if output_dir is set, materializes
     triples/entities/edges with manifests."""
     segments = pages_to_segments(pages)
-    triples = extract_triples(segments, default_options(spark), pred_name)
+    # localCheckpoint at the stage boundary: triples feed four downstream
+    # consumers (mentions, signatures x2 via the banding self-join, final
+    # sink) — without it the extraction joins re-run per consumer.
+    triples = extract_triples(segments, default_options(spark), pred_name).localCheckpoint(
+        eager=False
+    )
 
     # mentions: the phrase in its segment context, keyed by (subj, obj_id).
     # Using the contextual surface form (not the bare label) keeps the LSH

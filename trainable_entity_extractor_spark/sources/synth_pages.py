@@ -67,9 +67,20 @@ def synth_pages(spark: SparkSession, n_rows: int, seed: int = 42, partitions: in
 
     def seg_text(seg_idx: Column) -> Column:
         n_words = F.pmod(F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("nw"))), 16) + 8
+
+        def one_word(w: Column) -> Column:
+            base = _pick(WORDS, F.abs(F.hash(cid, seg_idx, w, F.lit(seed), F.lit("w"))))
+            # ~30% of tokens carry a numeric suffix (ids/dates/codes — real
+            # web text is token-diverse; without this every mention is
+            # ~0.5-similar to every other and LSH blocking degenerates)
+            roll = F.abs(F.hash(cid, seg_idx, w, F.lit(seed), F.lit("sfx")))
+            return F.when(
+                F.pmod(roll, 10) < 3,
+                F.concat(base, F.pmod(roll, F.lit(99991)).cast("string")),
+            ).otherwise(base)
+
         words = F.transform(
-            F.sequence(F.lit(0), (n_words - 1).cast("int")),
-            lambda w: _pick(WORDS, F.abs(F.hash(cid, seg_idx, w, F.lit(seed), F.lit("w")))),
+            F.sequence(F.lit(0), (n_words - 1).cast("int")), one_word
         )
         base = F.array_join(words, " ")
         phrase_roll = F.pmod(F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("ph"))), 100)

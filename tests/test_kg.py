@@ -93,7 +93,16 @@ def test_connected_components_vs_union_find(spark):
     ]
     edge_list = [(a, b) for a, b in edge_list if a != b]
     edges = spark.createDataFrame(edge_list, "a string, b string")
-    result = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    # force the DISTRIBUTED hash-min loop (driver_threshold=0); the driver
+    # union-find path is covered by the default-threshold assertion below
+    result = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    driver_result = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert result == driver_result
 
     touched = sorted({x for e in edge_list for x in e})
     oracle = _union_find_components(touched, edge_list)

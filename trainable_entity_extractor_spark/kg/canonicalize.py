@@ -17,16 +17,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(spark, pairs: list[tuple]) -> DataFrame:
+    """Exact same contract as the distributed loop (component = min id),
+    computed on the driver. Used below the size threshold where Spark's
+    per-job latency would dominate; at cluster scale the distributed loop
+    takes over."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    import pandas as pd
+
+    ids = list(parent)
+    pdf = pd.DataFrame({"id": ids, "component": [find(x) for x in ids]})
+    return spark.createDataFrame(pdf, schema="id string, component string")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges(a,b) → (id, component) where component = min id in component.
 
-    Hash-min label propagation: every vertex repeatedly adopts the min
-    label among itself and its neighbors until fixpoint.
+    Scale-adaptive: below `driver_threshold` edges, one collect + driver
+    union-find (identical deterministic result, no iterative jobs); above
+    it, hash-min label propagation — every vertex repeatedly adopts the
+    min label among itself and its neighbors until fixpoint.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -38,6 +72,11 @@ def connected_components(
     # The loop's own shuffles are pinned to this width for its duration.
     n_edges = sym.count()
     spark = edges.sparkSession
+    if n_edges <= driver_threshold:
+        pdf = sym.toPandas()  # Arrow transfer — far cheaper than row collect
+        pairs = list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
+        return _driver_union_find(spark, pairs)
+
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(width, n_edges // 50_000 + 1))
     sym = sym.repartition(parts, "u").localCheckpoint(eager=True)

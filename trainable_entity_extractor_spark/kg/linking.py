@@ -42,20 +42,22 @@ def shingles(col, k: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(k))))
 
 
-# 2^31-1: with k-gram codes < 2^26 and coefficients < p, a*x+b < 2^57 —
-# no uint64 overflow, so the affine-permutation family is exact.
-_MERSENNE = (1 << 31) - 1
-
-
 def _perm_coeffs(n_perms: int, seed: int = 42):
-    """Deterministic affine-permutation coefficients (LCG-derived)."""
+    """Deterministic multiply-add hash coefficients (LCG-derived).
+
+    Hashing is h_i(x) = a_i * x + b_i with natural uint64 wraparound —
+    no modulo: numpy has no vectorized 64-bit integer division, so a mod-
+    prime family is ~100x slower. Multiply-add wraparound (odd a_i) is the
+    standard practical MinHash family (2-universal, well-mixed high bits).
+    """
     a, b = [], []
     state = seed
+    mask = (1 << 64) - 1
     for _ in range(n_perms):
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        a.append(state % (_MERSENNE - 1) + 1)
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        b.append(state % _MERSENNE)
+        state = (6364136223846793005 * state + 1442695040888963407) & mask
+        a.append(state | 1)  # odd multiplier
+        state = (6364136223846793005 * state + 1442695040888963407) & mask
+        b.append(state)
     return a, b
 
 
@@ -72,19 +74,24 @@ def _minhash_kernel(texts, n_perms: int, k: int, max_chars: int):
     import numpy as np
 
     a, b = _perm_coeffs(n_perms)
-    a = np.array(a, dtype=np.uint64).reshape(-1, 1)
-    b = np.array(b, dtype=np.uint64).reshape(-1, 1)
+    # int64 throughout: this numpy build has no SIMD kernel for uint64
+    # multiply (~100x slower); two's-complement wraparound is bit-identical
+    # and signed min is an equally valid fixed total order for min-wise
+    # selection (the scorer compares slot equality only).
+    to_i64 = lambda xs: np.array([x - (1 << 64) if x >= (1 << 63) else x for x in xs], dtype=np.int64)
+    a = to_i64(a).reshape(-1, 1)
+    b = to_i64(b).reshape(-1, 1)
 
     grams_per_row: list = []
     for t in texts:
         norm = " ".join((t or "").lower().split())[:max_chars]
         if len(norm) < k:
             norm = norm + "\x00" * (k - len(norm))
-        codes = np.frombuffer(norm.encode("utf-8", "replace"), dtype=np.uint8).astype(np.uint64)
+        codes = np.frombuffer(norm.encode("utf-8", "replace"), dtype=np.uint8).astype(np.int64)
         # polynomial k-gram codes via strided sum (< 257^k, keep k<=3)
-        gram = np.zeros(len(codes) - k + 1, dtype=np.uint64)
+        gram = np.zeros(len(codes) - k + 1, dtype=np.int64)
         for j in range(k):
-            gram = gram * np.uint64(257) + codes[j : len(codes) - k + 1 + j]
+            gram = gram * np.int64(257) + codes[j : len(codes) - k + 1 + j]
         grams_per_row.append(gram)
 
     if not grams_per_row:
@@ -93,10 +100,18 @@ def _minhash_kernel(texts, n_perms: int, k: int, max_chars: int):
     offsets = np.zeros(len(lengths), dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
     flat = np.concatenate(grams_per_row)
-    hashed = (a * flat[None, :] + b) % np.uint64(_MERSENNE)  # (n_perms, G)
-    mins = np.minimum.reduceat(hashed, offsets, axis=1)  # (n_perms, R)
-    mins = mins.T.astype(np.int64)  # (R, n_perms)
-    return list(mins)
+    # per-perm loop with preallocated buffers: a single (n_perms, G)
+    # broadcast would allocate hundreds of MB of temporaries per batch —
+    # fresh page faults dominate in VM environments. This keeps the
+    # working set at one G-sized buffer.
+    tmp = np.empty_like(flat)
+    out = np.empty((len(lengths), len(a)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(len(a)):
+            np.multiply(flat, a[i, 0], out=tmp)
+            np.add(tmp, b[i, 0], out=tmp)
+            out[:, i] = np.minimum.reduceat(tmp, offsets)
+    return list(out)
 
 
 def minhash_signatures(
@@ -147,19 +162,21 @@ def lsh_candidate_pairs(
         "mention_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
-    # per-block size; drop blocks above cap (skew mitigation, north rule)
-    sized = banded.join(
-        banded.groupBy("band", "key").agg(F.count("*").alias("bsz")), ["band", "key"]
-    ).filter(F.col("bsz") <= block_cap)
-
-    left = sized.select("band", "key", F.col("mention_id").alias("a"))
-    right = sized.select("band", "key", F.col("mention_id").alias("b"))
-    return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    # One groupBy gives blocks AND the size cap (skew mitigation, north
+    # rule) — no count-join back onto the banded rows. Pair generation is a
+    # bounded self-join on the block id (every block <= cap members).
+    blocks = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("mention_id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= block_cap))
+        .select(F.monotonically_increasing_id().alias("block_id"), "ids")
     )
+    members = blocks.select("block_id", F.explode("ids").alias("m"))
+    left = members.select("block_id", F.col("m").alias("a"))
+    right = members.select("block_id", F.col("m").alias("b"))
+    # NOTE: a pair appearing in several bands is emitted once per band —
+    # dedup happens after the (selective) score filter, where it is cheap.
+    return left.join(right, "block_id").filter(F.col("a") < F.col("b")).select("a", "b")
 
 
 def score_pairs(
@@ -182,6 +199,7 @@ def score_pairs(
     scored = (
         pairs.join(sa, "a").join(sb, "b").select("a", "b", est.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        .distinct()  # multi-band duplicates — cheap after the score filter
     )
     if not exact_rescore:
         return scored

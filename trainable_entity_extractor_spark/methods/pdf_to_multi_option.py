@@ -250,6 +250,117 @@ class FuzzyCommas(_FuzzyBase):
         return pd.Series(out, index=pdf.index, dtype=object)
 
 
+def fix_two_pages_segments(segments: list[dict]) -> list[dict]:
+    """W10 cross-page fix (FastSegmentSelectorFuzzy95.fix_two_pages_segments
+    :128-161): a text-type segment not ending in '.' followed by a text
+    segment on a later page absorbs that segment's text; the absorbed
+    segment is dropped."""
+    from .segment_selector import TEXT_TYPES
+
+    text_idx = [i for i, s in enumerate(segments) if (s.get("seg_type") or "TEXT") in TEXT_TYPES]
+    pos_in_text = {i: n for n, i in enumerate(text_idx)}
+    removed: set[int] = set()
+    fixed: list[dict] = []
+    for i, seg in enumerate(segments):
+        if i in removed:
+            continue
+        text = seg.get("text") or ""
+        if i in pos_in_text and text and not text.endswith("."):
+            n = pos_in_text[i]
+            if n + 1 < len(text_idx):
+                j = text_idx[n + 1]
+                if (seg.get("page") or 0) < (segments[j].get("page") or 0):
+                    merged = dict(seg)
+                    merged["text"] = text + " " + (segments[j].get("text") or "")
+                    fixed.append(merged)
+                    removed.add(j)
+                    continue
+        fixed.append(seg)
+    return fixed
+
+
+class FastSegmentSelectorFuzzy95(_FuzzyBase):
+    """M6 composition (FastSegmentSelectorFuzzy95.py): mark training
+    segments by fuzzy-85 appearance of cleaned options, fit the fast
+    segment selector, then run FuzzyAll95 over the selected segments."""
+
+    threshold = 85.0
+    inner_threshold = 95.0
+
+    def _cleaned_options(self, ctx):
+        return clean_labels_keep_long([py_remove_accents(o.label.lower()) for o in ctx.options])
+
+    def _appearances(self, seg_text: str, options: list[str]) -> list[str]:
+        out = []
+        for option in options:
+            if len(seg_text) < math.ceil(len(option)):
+                continue
+            if _cached_partial_ratio(option, seg_text.lower()) >= self.threshold:
+                out.append(option)
+        return list(dict.fromkeys(out))
+
+    def can_be_used(self, train_pdf, ctx) -> bool:
+        return len(train_pdf) <= 200
+
+    def fit(self, train_pdf, ctx):
+        from .segment_selector import FastSegmentSelector
+
+        cleaned = self._cleaned_options(ctx)
+        marked: list[dict] = []
+        for _, row in train_pdf.iterrows():
+            segs = [dict(s) for s in (row.get("segments") or [])]
+            value_ids = {v["id"] for v in (row.get("values") or [])}
+            sample_options = [
+                c for c, o in zip(cleaned, ctx.options) if o.id in value_ids
+            ]
+            fixed = fix_two_pages_segments(segs)
+            for seg in fixed:
+                if len(self._appearances(seg.get("text") or "", sample_options)) >= 1:
+                    seg["ml_label"] = 1
+            marked.extend(fixed)
+        return {"selector": FastSegmentSelector().fit(marked)}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        from .segment_selector import FastSegmentSelector
+
+        selector = FastSegmentSelector()
+        sel_artifact = artifact.get("selector", {})
+        inner = FuzzyAll95()
+        out = []
+        for _, row in pdf.iterrows():
+            segs = [dict(s) if not isinstance(s, dict) else s for s in (row.get("segments") or [])]
+            if not segs and row.get("source_text"):
+                segs = [{"text": row["source_text"], "seg_type": "TEXT", "page": 1}]
+            selected = selector.select(fix_two_pages_segments(segs), sel_artifact)
+            sub = pd.DataFrame([{"segments": selected, "source_text": None}])
+            out.append(inner.predict_pandas(sub, ctx, {}).iloc[0])
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
+class FastSegmentSelectorFuzzyCommas(FastSegmentSelectorFuzzy95):
+    """Same selector, FuzzyCommas over the selected segments
+    (FastSegmentSelectorFuzzyCommas in the reference)."""
+
+    def fit(self, train_pdf, ctx):
+        artifact = super().fit(train_pdf, ctx)
+        artifact.update(FuzzyCommas().fit(train_pdf, ctx))
+        return artifact
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        from .segment_selector import FastSegmentSelector
+
+        selector = FastSegmentSelector()
+        sel_artifact = artifact.get("selector", {})
+        inner = FuzzyCommas()
+        out = []
+        for _, row in pdf.iterrows():
+            segs = [dict(s) if not isinstance(s, dict) else s for s in (row.get("segments") or [])]
+            selected = selector.select(fix_two_pages_segments(segs), sel_artifact)
+            sub = pd.DataFrame([{"segments": selected, "source_text": None}])
+            out.append(inner.predict_pandas(sub, ctx, artifact).iloc[0])
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
 PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FuzzyFirst,
     FuzzyLast,
@@ -258,7 +369,9 @@ PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FuzzyAll100,
     FuzzyAll88,
     FuzzyAll75,
-    # Token/segment-selector composites (FastSegmentSelectorFuzzy95,
-    # FuzzyCommas, LightGBM selectors…) land in later rounds (SURVEY §7.2
-    # steps 4-5); SetFit/Ollama/Gemini composites are external — absent.
+    # Previous/NextWordsTokenSelector + SentenceSelector composites are
+    # round-2 items (need the raw-token rebuild, SURVEY §2.9 M6);
+    FastSegmentSelectorFuzzy95,
+    FastSegmentSelectorFuzzyCommas,
+    # SetFit/Ollama/Gemini composites are external models — absent.
 ]

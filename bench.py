@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-SCALE_PAGES = 600000
+SCALE_PAGES = 400000
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
 # headline subset: one per operator family, heavier ones included on purpose
@@ -97,6 +97,30 @@ def pipeline_throughput(spark, n_pages: int, warmup: bool = True, seed: int = 42
     return n_pages / dt
 
 
+def extract_throughput(spark, n_pages: int, seed: int = 42) -> float:
+    """pages/sec of the map-dominant extraction stages only (segment →
+    triples → signatures): the shape of >90% of the work at crawl scale,
+    and free of single-box shuffle/memory-bus artifacts."""
+    from pyspark.sql import functions as F
+
+    from trainable_entity_extractor_spark.kg.linking import minhash_signatures
+    from trainable_entity_extractor_spark.kg.triples import extract_triples
+    from trainable_entity_extractor_spark.pipeline import default_options
+    from trainable_entity_extractor_spark.sources.segmentation import pages_to_segments
+
+    path = ensure_pages_parquet(spark, n_pages, seed)
+    pages = spark.read.parquet(path)
+    t0 = time.time()
+    segments = pages_to_segments(pages)
+    triples = extract_triples(segments, default_options(spark), "p")
+    mentions = triples.select(
+        F.concat_ws("#", "subj", "obj_id").alias("mention_id"),
+        F.concat_ws(" ", "obj_label", "obj_text").alias("mention"),
+    )
+    minhash_signatures(mentions).count()
+    return n_pages / (time.time() - t0)
+
+
 def main():
     t_start = time.time()
 
@@ -118,6 +142,7 @@ def main():
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
         budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "500"))
         samples: dict[int, list[float]] = {1: [], 4: []}
+        extract_samples: dict[int, list[float]] = {1: [], 4: []}
         for t in range(trials):
             if t > 0 and time.time() - t_start > budget:
                 break  # stay inside the driver's bench budget
@@ -125,6 +150,7 @@ def main():
                 s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
                 pps = pipeline_throughput(s, n_scale, warmup=True)
                 samples[cores].append(round(pps, 1))
+                extract_samples[cores].append(round(extract_throughput(s, n_scale), 1))
                 s.stop()
         scaling["local[1]_trials"] = samples[1]
         scaling["local[4]_trials"] = samples[4]
@@ -132,6 +158,11 @@ def main():
         scaling["local[4]"] = max(samples[4])
         scaling["scale_pages"] = n_scale
         scaling["efficiency_1_to_4"] = round(scaling["local[4]"] / (scaling["local[1]"] * 4), 3)
+        scaling["extract_local[1]"] = max(extract_samples[1])
+        scaling["extract_local[4]"] = max(extract_samples[4])
+        scaling["extract_efficiency_1_to_4"] = round(
+            scaling["extract_local[4]"] / (scaling["extract_local[1]"] * 4), 3
+        )
 
     result = {
         "metric": "kg_pipeline_and_headline_queries",

@@ -361,6 +361,128 @@ class FastSegmentSelectorFuzzyCommas(FastSegmentSelectorFuzzy95):
         return pd.Series(out, index=pdf.index, dtype=object)
 
 
+def sentence_segments(segments: list[dict]) -> list[dict]:
+    """W9 sentence re-segmentation (SentenceSelectorFuzzyCommas:55-102):
+    merge text segments not ending in '.'/':' (joined with ', '), split on
+    '.'/':' , then re-merge sentences left dangling on a comma."""
+    from .segment_selector import TEXT_TYPES
+    import re as _re
+
+    text_segs = [
+        s for s in segments
+        if (s.get("seg_type") or "TEXT") in TEXT_TYPES and (s.get("text") or "").strip()
+    ]
+    if not text_segs:
+        return []
+    merged = [dict(text_segs[0])]
+    for seg in text_segs[1:]:
+        prev_text = " ".join((merged[-1].get("text") or "").split())
+        if prev_text and prev_text[-1] not in (".", ":"):
+            merged[-1] = dict(merged[-1])
+            merged[-1]["text"] = f"{prev_text}, {' '.join((seg.get('text') or '').split())}"
+        else:
+            merged.append(dict(seg))
+
+    sentence_list: list[tuple[str, dict]] = []
+    for seg in merged:
+        seg_text = " ".join((seg.get("text") or "").split())
+        for text in _re.split(r"\.|:", seg_text):
+            if not text:
+                continue
+            sentence_list.append((text, seg))
+    if not sentence_list:
+        return []
+
+    across: list[tuple[str, dict]] = [sentence_list[0]]
+    for sent, next_sent in zip(sentence_list, sentence_list[1:]):
+        if sent[0][-1] == ",":
+            across[-1] = (" ".join([across[-1][0], next_sent[0]]), across[-1][1])
+            continue
+        across.append(next_sent)
+
+    out = []
+    for text, seg in across:
+        new_seg = dict(seg)
+        new_seg["text"] = text
+        out.append(new_seg)
+    return out
+
+
+class _WordsSelector:
+    """PreviousWords/NextWordsSegmentSelector: select text segments whose
+    previous (next) segment fuzzily contains a learned predictive word
+    (partial_ratio >= 90)."""
+
+    def __init__(self, direction: str):
+        self.direction = direction  # "prev" | "next"
+
+    def fit(self, marked_segments: list[dict]) -> dict:
+        from .segment_selector import TEXT_TYPES, predictive_words
+
+        text_segs = [s for s in marked_segments if (s.get("seg_type") or "TEXT") in TEXT_TYPES]
+        prev_w, next_w = predictive_words(text_segs)
+        return {"previous_words": prev_w, "next_words": next_w}
+
+    def select(self, segments: list[dict], artifact: dict) -> list[dict]:
+        from .segment_selector import TEXT_TYPES, clean_words
+
+        text_segs = [s for s in segments if (s.get("seg_type") or "TEXT") in TEXT_TYPES]
+        words = artifact.get("previous_words" if self.direction == "prev" else "next_words", [])
+        selected = []
+        for i, seg in enumerate(text_segs):
+            if self.direction == "prev":
+                neighbor = " ".join(clean_words(text_segs[i - 1].get("text") or "")) if i > 0 else ""
+            else:
+                neighbor = (
+                    " ".join(clean_words(text_segs[i + 1].get("text") or ""))
+                    if i + 1 < len(text_segs)
+                    else ""
+                )
+            for word in words:
+                if _cached_partial_ratio(word, neighbor) >= 90:
+                    selected.append(seg)
+                    break
+        return selected
+
+
+class PreviousWordsSentenceSelectorFuzzyCommas(FastSegmentSelectorFuzzy95):
+    """Sentence re-segmentation + previous-words selector + FuzzyCommas
+    (PreviousWordsSentenceSelectorFuzzyCommas.py:18-75)."""
+
+    def fit(self, train_pdf, ctx):
+        import pandas as pd_mod
+
+        sent_rows = train_pdf.copy()
+        sent_rows["segments"] = [
+            sentence_segments([dict(s) for s in (row or [])]) for row in train_pdf["segments"]
+        ]
+        cleaned = self._cleaned_options(ctx)
+        marked: list[dict] = []
+        for _, row in sent_rows.iterrows():
+            segs = [dict(s) for s in (row.get("segments") or [])]
+            value_ids = {v["id"] for v in (row.get("values") or [])}
+            sample_options = [c for c, o in zip(cleaned, ctx.options) if o.id in value_ids]
+            fixed = fix_two_pages_segments(segs)
+            for seg in fixed:
+                if len(self._appearances(seg.get("text") or "", sample_options)) >= 1:
+                    seg["ml_label"] = 1
+            marked.extend(fixed)
+        artifact = {"selector": _WordsSelector("prev").fit(marked)}
+        artifact.update(FuzzyCommas().fit(sent_rows, ctx))
+        return artifact
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        selector = _WordsSelector("prev")
+        inner = FuzzyCommas()
+        out = []
+        for _, row in pdf.iterrows():
+            segs = sentence_segments([dict(s) if not isinstance(s, dict) else s for s in (row.get("segments") or [])])
+            selected = selector.select(fix_two_pages_segments(segs), artifact.get("selector", {}))
+            sub = pd.DataFrame([{"segments": selected, "source_text": None}])
+            out.append(inner.predict_pandas(sub, ctx, artifact).iloc[0])
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
 PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FuzzyFirst,
     FuzzyLast,
@@ -369,8 +491,9 @@ PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FuzzyAll100,
     FuzzyAll88,
     FuzzyAll75,
-    # Previous/NextWordsTokenSelector + SentenceSelector composites are
-    # round-2 items (need the raw-token rebuild, SURVEY §2.9 M6);
+    # Previous/NextWordsTokenSelectorFuzzy75 are round-2 items (they need
+    # the raw-token rebuild, SURVEY §2.9 M6);
+    PreviousWordsSentenceSelectorFuzzyCommas,
     FastSegmentSelectorFuzzy95,
     FastSegmentSelectorFuzzyCommas,
     # SetFit/Ollama/Gemini composites are external models — absent.

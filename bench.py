@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-SCALE_PAGES = 400000
+SCALE_PAGES = 200000
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
 # headline subset: one per operator family, heavier ones included on purpose
@@ -139,7 +139,7 @@ def main():
         # runs, so each level runs `trials` times; all samples are reported
         # and the per-level best (= least-throttled conditions) is used.
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", str(SCALE_PAGES)))
-        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "1"))
         budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "500"))
         samples: dict[int, list[float]] = {1: [], 4: []}
         extract_samples: dict[int, list[float]] = {1: [], 4: []}

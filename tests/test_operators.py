@@ -1,0 +1,110 @@
+"""Operator tests: dedup family, similarity search, text analysis."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trainable_entity_extractor_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_buckets,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from trainable_entity_extractor_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    lsh_bucket_ids,
+)
+from trainable_entity_extractor_spark.operators.text_analysis import (
+    lang_id,
+    quality_features,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame([{"doc_id": i, "text": t} for i, t in enumerate(rows)])
+    )
+
+
+def test_exact_duplicates(spark):
+    d = docs_df(spark, ["a b c", "a  b   c", "x y z", "a b c d"])
+    groups = exact_duplicates(d).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+    assert groups[0]["keep_id"] == 0
+
+
+def test_minhash_buckets_group_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(spark, [base, base, "completely unrelated words here entirely"])
+    buckets = minhash_buckets(d).collect()
+    assert len(buckets) == 1 and buckets[0]["bucket_size"] == 2
+
+
+def test_simhash_close_for_similar_docs(spark):
+    d = docs_df(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "alpha beta gamma delta epsilon zeta eta iota",
+            "one two three four five six seven eight",
+        ],
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash64(d).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(rows[0], rows[1]) < ham(rows[0], rows[2])
+
+
+def test_ngram_jaccard_pairs(spark):
+    d = docs_df(spark, ["a b c d e f", "a b c d e g", "z y x w v u"])
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "a long, b long")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(d, pairs).collect()}
+    assert got[(0, 1)] > 0.4
+    assert got[(0, 2)] == 0.0
+
+
+def test_cosine_topk_exact(spark):
+    import math
+
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    vecs.append((4, [1.0, 0.1, 0.0, 0.0]))
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = cosine_topk(e, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] in (0, 4)
+    assert abs(top[0]["cosine"] - 1.0) < 1e-6 or top[0]["cosine"] > 0.99
+
+
+def test_ann_topk_recalls_bucket_neighbors(spark):
+    import random
+
+    random.seed(3)
+    dim = 8
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(300)]
+    q = rows[7][1]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = [r["vec_id"] for r in cosine_topk(e, q, k=5).collect()]
+    approx = [r["vec_id"] for r in ann_topk(e, q, dim=dim, k=5, bits=4).collect()]
+    # the query vector itself (id 7) must be found by the ANN path
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 1
+
+
+def test_lang_id_and_quality(spark):
+    d = docs_df(
+        spark,
+        [
+            "the cat and the dog sat in the garden of the house",
+            "el perro y el gato de la casa en el jardin de los arboles",
+            "xyzzy qwerty plugh",
+        ],
+    )
+    langs = {r["doc_id"]: r["detected_lang"] for r in lang_id(d).collect()}
+    assert langs[0] == "en"
+    assert langs[1] == "es"
+    assert langs[2] == "en"  # fallback
+
+    q = {r["doc_id"]: r for r in quality_features(d).collect()}
+    assert q[0]["stopword_ratio"] > 0.3
+    assert q[2]["stopword_ratio"] == 0.0
+    assert q[0]["n_words"] == 12

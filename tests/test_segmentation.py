@@ -16,7 +16,13 @@ from trainable_entity_extractor_spark.sources.synth_pages import synth_pages
 def test_extract_text_byte_identical_to_generated_text(spark):
     pages = synth_pages(spark, 300, seed=42)
     extracted = extract_pages_text(pages)
-    mismatches = extracted.filter(F.col("extracted_text") != F.col("text")).count()
+    # compare via projection+agg (a filter on the UDF column would be
+    # predicate-pushed into the scan where Python UDFs can't evaluate)
+    mismatches = (
+        extracted.select((F.col("extracted_text") != F.col("text")).cast("int").alias("m"))
+        .agg(F.sum("m").alias("mismatches"))
+        .first()["mismatches"]
+    )
     assert mismatches == 0
 
 

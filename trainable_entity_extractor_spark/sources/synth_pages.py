@@ -59,25 +59,41 @@ def synth_pages(spark: SparkSession, n_rows: int, seed: int = 42, partitions: in
     # ~1/7 of pages are near-duplicates of an earlier "base" page (Common-
     # Crawl boilerplate analog): content derives from cid, with one word
     # perturbed, so MinHash linking has true near-dup families to find.
+    #
+    # Staged projections keep each expression tree under the codegen size
+    # limit (is_dup/cid inlined everywhere previously blew it, forcing
+    # interpreted eval that cannot host downstream Python UDFs).
     is_dup = F.pmod(h("dup"), 7) == 0
-    cid = F.when(is_dup, i - F.pmod(i, F.lit(37))).otherwise(i)
-    hc = lambda salt: F.abs(F.hash(cid, F.lit(seed), F.lit(salt)))
+    lang = F.when(F.pmod(h("langbad"), 50) == 0, _pick(BAD_LANGS, h("langbadpick"))).otherwise(
+        _pick(LANGS, h("lang"))
+    )
+    staged = df.select(
+        i.alias("id"),
+        is_dup.alias("is_dup"),
+        F.when(is_dup, i - F.pmod(i, F.lit(37))).otherwise(i).alias("cid"),
+        domain.alias("domain"),
+        lang.alias("lang"),
+    )
 
-    n_segs = (F.pmod(hc("nseg"), 5) + 3).cast("int")
+    cid = F.col("cid")
+    n_segs = (F.pmod(F.abs(F.hash(cid, F.lit(seed), F.lit("nseg"))), 5) + 3).cast("int")
 
     def seg_text(seg_idx: Column) -> Column:
         n_words = F.pmod(F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("nw"))), 16) + 8
 
+        # every conditional is expressed as concat(base, optional-suffix)
+        # so no `when` duplicates a large subtree — keeps the generated
+        # code under the codegen size limit.
         def one_word(w: Column) -> Column:
             base = _pick(WORDS, F.abs(F.hash(cid, seg_idx, w, F.lit(seed), F.lit("w"))))
             # ~30% of tokens carry a numeric suffix (ids/dates/codes — real
             # web text is token-diverse; without this every mention is
             # ~0.5-similar to every other and LSH blocking degenerates)
             roll = F.abs(F.hash(cid, seg_idx, w, F.lit(seed), F.lit("sfx")))
-            return F.when(
-                F.pmod(roll, 10) < 3,
-                F.concat(base, F.pmod(roll, F.lit(99991)).cast("string")),
-            ).otherwise(base)
+            suffix = F.when(
+                F.pmod(roll, 10) < 3, F.pmod(roll, F.lit(99991)).cast("string")
+            ).otherwise(F.lit(""))
+            return F.concat(base, suffix)
 
         words = F.transform(
             F.sequence(F.lit(0), (n_words - 1).cast("int")), one_word
@@ -85,31 +101,33 @@ def synth_pages(spark: SparkSession, n_rows: int, seed: int = 42, partitions: in
         base = F.array_join(words, " ")
         phrase_roll = F.pmod(F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("ph"))), 100)
         phrase = _pick(PHRASES, F.abs(F.hash(cid, seg_idx, F.lit(seed), F.lit("phx"))))
-        text = F.when(phrase_roll < 35, F.concat(base, F.lit(" "), phrase)).otherwise(base)
+        phrase_suffix = F.when(phrase_roll < 35, F.concat(F.lit(" "), phrase)).otherwise(F.lit(""))
         # perturb duplicates: tweak the first word on segment 0 only
-        return F.when(
-            is_dup & (seg_idx == 0),
-            F.concat(F.lit("rev"), F.pmod(i, F.lit(37)).cast("string"), F.lit(" "), text),
-        ).otherwise(text)
+        dup_prefix = F.when(
+            F.col("is_dup") & (seg_idx == 0),
+            F.concat(F.lit("rev"), F.pmod(F.col("id"), F.lit(37)).cast("string"), F.lit(" ")),
+        ).otherwise(F.lit(""))
+        return F.concat(dup_prefix, base, phrase_suffix)
 
-    segs = F.transform(F.sequence(F.lit(0), (n_segs - 1).cast("int")), seg_text)
-
-    lang = F.when(F.pmod(h("langbad"), 50) == 0, _pick(BAD_LANGS, h("langbadpick"))).otherwise(
-        _pick(LANGS, h("lang"))
+    staged = staged.withColumn(
+        "segs", F.transform(F.sequence(F.lit(0), (n_segs - 1).cast("int")), seg_text)
     )
 
     html = F.concat(
         F.lit("<html><body>"),
-        F.array_join(F.transform(segs, lambda s: F.concat(F.lit("<p>"), s, F.lit("</p>"))), ""),
+        F.array_join(
+            F.transform(F.col("segs"), lambda s: F.concat(F.lit("<p>"), s, F.lit("</p>"))), ""
+        ),
         F.lit("</body></html>"),
     )
 
-    return df.select(
-        F.concat(F.lit("https://"), domain, F.lit("/doc/"), i.cast("string")).alias("url"),
-        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(mins=i.cast("int"))).alias(
-            "warc_ts"
-        ),
+    return staged.select(
+        F.concat(F.lit("https://"), F.col("domain"), F.lit("/doc/"), F.col("id").cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("warc_ts"),
         html.cast("binary").alias("html"),
-        F.array_join(segs, "\n\n").alias("text"),
-        lang.alias("lang"),
+        F.array_join(F.col("segs"), "\n\n").alias("text"),
+        F.col("lang"),
     )

@@ -35,6 +35,77 @@ class NaiveTextToMultiOptionMethod(MethodBase):
         return pd.Series([list(first) for _ in range(len(pdf))], index=pdf.index, dtype=object)
 
 
+class TextToCountries(MethodBase):
+    """J6 gazetteer join (TextToCountries.py:22-107): usable when >50% of
+    option labels contain a country; predict = countries found in text
+    mapped to options, plus cleaned-substring matching (longest-first with
+    consumption) for non-country options."""
+
+    kind = "multi_option"
+
+    @staticmethod
+    def _clean(text: str) -> str:
+        import re as _re
+        import unicodedata as _ud
+
+        text = _ud.normalize("NFD", text)
+        text = "".join(c for c in text if _ud.category(c) != "Mn")
+        return _re.sub(r"[^a-zA-Z0-9\s]", "", text).lower()
+
+    def can_be_used(self, train_pdf, ctx) -> bool:
+        from ..functions.countries import find_countries
+
+        if not ctx.options:
+            return False
+        matched = sum(1 for o in ctx.options if find_countries(o.label))
+        return matched / len(ctx.options) > 0.5
+
+    def fit(self, train_pdf, ctx):
+        from ..functions.countries import find_countries
+
+        keywords = []
+        for option in ctx.options:
+            detected = find_countries(option.label)
+            if detected:
+                keywords.append(
+                    {"keyword": detected[0], "option_id": option.id, "is_country": True}
+                )
+            else:
+                keywords.append(
+                    {"keyword": self._clean(option.label), "option_id": option.id, "is_country": False}
+                )
+        return {"keywords": keywords}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        from ..functions.countries import find_countries
+
+        keywords = artifact.get("keywords", [])
+        by_country = {k["keyword"]: k["option_id"] for k in keywords if k["is_country"]}
+        non_country = sorted(
+            (k for k in keywords if not k["is_country"]),
+            key=lambda k: len(k["keyword"]),
+            reverse=True,
+        )
+        id_to_option = {o.id: o for o in ctx.options}
+        out = []
+        for _, row in pdf.iterrows():
+            text = input_text(row)
+            ids: list[str] = []
+            for country in find_countries(text):
+                if country in by_country:
+                    ids.append(by_country[country])
+            text_clean = self._clean(text)
+            for k in non_country:
+                kw = self._clean(k["keyword"])
+                if kw and kw in text_clean:
+                    ids.append(k["option_id"])
+                    text_clean = text_clean.replace(kw, "", 1)
+            out.append(
+                [id_to_option[i].to_dict() | {"segment_text": ""} for i in ids if i in id_to_option]
+            )
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
 class FirstWordRegex(MethodBase):
     """Per-option regexes induced from first words of its positive samples;
     predict matches the sample's first word; options ordered by regex-list
@@ -161,9 +232,7 @@ class TextFuzzyAll75(TextFuzzyAll100):
 
 TEXT_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     NaiveTextToMultiOptionMethod,
-    # TextToCountries: requires a country gazetteer (find_countries pkg in
-    # the reference); gated off in round 1 — can_be_used would check >50%
-    # country options (TextToCountries.py:37-42).
+    TextToCountries,
     FirstWordRegex,
     TextFuzzyFirst,
     TextFuzzyFirstCleanLabels,

@@ -155,32 +155,60 @@ class ExtractorBase:
         kind = method.kind
         multi_value = ctx.multi_value
 
+        use_context_from_end = "End" in method.name()  # Suggestion.py:156
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..functions.context_markup import format_segment_text
+
+            SCALE_RATIO = 0.75  # SegmentBox.py:10
+
             for pdf in batches:
                 preds = method.predict_pandas(pdf, ctx, artifact)
                 if kind == "multi_option":
-                    values = []
+                    values, pages, boxes_col, seg_texts = [], [], [], []
                     for (_, row), p in zip(pdf.iterrows(), preds):
                         vals = list(p or [])
                         if not multi_value:
                             vals = vals[:1]
                         source_text = row.get("source_text") or ""
+                        segments = list(row.get("segments") or [])
+                        # context segments = those whose text matches a value
+                        # context (our kernels don't mutate ml_label in place)
+                        contexts = {v.get("segment_text") for v in vals if v.get("segment_text")}
+                        ctx_segs = [s for s in segments if (s.get("text") or "") in contexts]
+                        page = int(ctx_segs[0]["page"]) if ctx_segs and ctx_segs[0].get("page") else 1
+                        boxes = [
+                            {
+                                "left": round((s.get("left") or 0.0) / SCALE_RATIO, 0),
+                                "top": round((s.get("top") or 0.0) / SCALE_RATIO, 0),
+                                "width": round((s.get("width") or 0.0) / SCALE_RATIO, 0),
+                                "height": round((s.get("height") or 0.0) / SCALE_RATIO, 0),
+                                "page_number": int(s.get("page") or 1),
+                            }
+                            for s in ctx_segs
+                        ]
                         out_vals = [
                             {
                                 "id": v["id"],
                                 "label": v["label"],
-                                "segment_text": v.get("segment_text") or source_text,
+                                "segment_text": format_segment_text(
+                                    [v.get("segment_text") or source_text], v["label"]
+                                ),
                             }
                             for v in vals
                         ]
                         values.append(out_vals)
+                        pages.append(page)
+                        boxes_col.append(boxes)
+                        seg_texts.append(out_vals[0]["segment_text"] if out_vals else None)
                     yield pd.DataFrame(
                         {
                             "entity_name": pdf["entity_name"],
                             "values": values,
                             "text": None,
-                            "segment_text": None,
-                            "page_number": None,
+                            "segment_text": seg_texts,
+                            "page_number": pages,
+                            "segments_boxes": boxes_col,
                         }
                     )
                 else:
@@ -191,6 +219,7 @@ class ExtractorBase:
                             "text": preds,
                             "segment_text": pdf["source_text"].fillna(""),
                             "page_number": None,
+                            "segments_boxes": [[] for _ in range(len(pdf))],
                         }
                     )
 

@@ -92,6 +92,18 @@ TRIPLES_SCHEMA = T.StructType(
     ]
 )
 
+# Output geometry (reference SegmentBox.to_output: page_width/height and
+# type dropped; coordinates scaled up x(1/0.75) — SegmentBox.py:23-45).
+SEGMENT_BOX_STRUCT = T.StructType(
+    [
+        T.StructField("left", T.DoubleType(), True),
+        T.StructField("top", T.DoubleType(), True),
+        T.StructField("width", T.DoubleType(), True),
+        T.StructField("height", T.DoubleType(), True),
+        T.StructField("page_number", T.IntegerType(), True),
+    ]
+)
+
 # Suggestion-shaped (one row per entity, values collected) — the predict()
 # return surface, mirrors reference list[Suggestion].
 SUGGESTIONS_SCHEMA = T.StructType(
@@ -101,5 +113,6 @@ SUGGESTIONS_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("segment_text", T.StringType(), True),
         T.StructField("page_number", T.IntegerType(), True),
+        T.StructField("segments_boxes", T.ArrayType(SEGMENT_BOX_STRUCT), True),
     ]
 )

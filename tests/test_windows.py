@@ -1,0 +1,69 @@
+"""Native window-operator tests (W1-W4, A8)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trainable_entity_extractor_spark.operators.windows import (
+    layout_modes,
+    with_last_title,
+    with_neighbor_features,
+    with_neighbor_score_smoothing,
+    with_reading_order,
+)
+
+
+def segs_df(spark):
+    rows = []
+    for d in ("a", "b"):
+        for i, (typ, text) in enumerate(
+            [("TITLE", "Heading One"), ("TEXT", "body one"), ("TEXT", "body two"),
+             ("TITLE", "Heading Two"), ("TEXT", "body three")]
+        ):
+            rows.append(
+                {"url": d, "seg_idx": i, "page": 1, "left": 10.0 * (i % 2), "top": 100.0 * i,
+                 "width": 100.0, "height": 12.0, "seg_type": typ, "text": text, "ml_label": 0}
+            )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_reading_order(spark):
+    df = segs_df(spark).drop("seg_idx")
+    out = with_reading_order(df).filter("url = 'a'").orderBy("seg_idx").collect()
+    assert [r["seg_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["top"] for r in out] == sorted(r["top"] for r in out)
+
+
+def test_neighbor_features(spark):
+    out = {
+        (r["url"], r["seg_idx"]): r
+        for r in with_neighbor_features(segs_df(spark)).collect()
+    }
+    assert out[("a", 0)]["prev_text"] is None
+    assert out[("a", 1)]["prev_text"] == "Heading One"
+    assert out[("a", 1)]["next_text"] == "body two"
+    assert out[("a", 4)]["next_text"] is None
+
+
+def test_last_title_carry_forward(spark):
+    out = {
+        (r["url"], r["seg_idx"]): r["last_title"]
+        for r in with_last_title(segs_df(spark)).collect()
+    }
+    assert out[("a", 0)] is None  # nothing precedes the first title
+    assert out[("a", 1)]["text"] == "Heading One"
+    assert out[("a", 2)]["text"] == "Heading One"
+    assert out[("a", 4)]["text"] == "Heading Two"
+
+
+def test_neighbor_score_smoothing(spark):
+    rows = [{"url": "a", "seg_idx": i, "score": s} for i, s in enumerate([0.1, 0.9, 0.1, 0.1, 0.1])]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["seg_idx"]: r["selected"] for r in with_neighbor_score_smoothing(df, k=1).collect()}
+    assert out == {0: True, 1: True, 2: True, 3: False, 4: False}
+
+
+def test_layout_modes(spark):
+    out = {r["url"]: r for r in layout_modes(segs_df(spark)).collect()}
+    assert out["a"]["n_segments"] == 5
+    assert out["a"]["height_mode"] == 12.0
+    assert out["a"]["line_space_mode"] == 88.0  # 100-step tops, 12 height

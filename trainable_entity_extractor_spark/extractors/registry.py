@@ -16,7 +16,7 @@ from ..domain import EMPTY_PLACEHOLDER, ExtractionContext
 from ..methods.pdf_to_multi_option import PDF_TO_MULTI_OPTION_METHODS
 from ..methods.text_to_multi_option import TEXT_TO_MULTI_OPTION_METHODS
 from ..methods.text_to_text import TEXT_TO_TEXT_METHODS
-from .base import ExtractorBase, get_stratified_split
+from .base import ExtractorBase, get_stratified_split, get_train_test_split
 
 
 def _has_any_text(samples: pd.DataFrame, column: str) -> bool:
@@ -67,16 +67,41 @@ class TextToMultiOptionExtractor(ExtractorBase):
 
 
 class PdfToTextExtractor(ExtractorBase):
-    """PdfToTextExtractor.py: segment input, free-text output. Round-1
-    composition: to-text methods over concatenated segment texts (the
-    reference's segment-selector × text-method cross product lands with M6
-    in a later round — pdf_to_text_method_builder.py:28-59)."""
+    """PdfToTextExtractor.py: segment input, free-text output. Methods are
+    stand-alone (regex over 2-segment windows, first/last date) plus the
+    selector × text-method cross product (pdf_to_text_method_builder.py)."""
 
-    METHODS = TEXT_TO_TEXT_METHODS
+    from ..methods.pdf_to_text import PDF_TO_TEXT_METHODS
+
+    METHODS = PDF_TO_TEXT_METHODS
     name = "PdfToTextExtractor"
 
     def can_be_used(self, samples, ctx) -> bool:
         return not ctx.options and _has_segments(samples)
+
+    def prepare_for_training(self, samples, ctx):
+        """Reference split (PdfToTextExtractor.get_train_test_sets:97-137):
+        prefer samples whose segments carry labels (ml_label as the
+        label-box analog); <=10 samples → train=test=all."""
+        import pandas as pd_mod
+
+        n = len(samples)
+        if n <= 10:
+            return samples, samples
+        has_labels = samples["segments"].apply(
+            lambda segs: any(s.get("ml_label") for s in (segs or []))
+        )
+        labeled = samples[has_labels]
+        if len(labeled) < 2:
+            return get_train_test_split(samples)
+        if len(labeled) < 10:
+            return labeled, samples
+        train_size = int(n * 0.7)
+        if len(labeled) >= train_size:
+            return labeled.iloc[:train_size], pd_mod.concat(
+                [labeled.iloc[train_size:], samples[~has_labels]]
+            )
+        return get_train_test_split(samples)
 
 
 class TextToTextExtractor(ExtractorBase):

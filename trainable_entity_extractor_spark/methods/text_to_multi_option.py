@@ -241,5 +241,12 @@ TEXT_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     TextFuzzyAll100,
     TextFuzzyAll88,
     TextFuzzyAll75,
-    # SetFit / Gemini / Ollama slots: external models/services — absent.
+    # Gemini / Ollama slots: network services — absent.
+    # TF-IDF one-vs-rest stands in at the SetFit (trainable classifier)
+    # slot — same tournament position: only wins when the deterministic
+    # methods are imperfect.
 ]
+
+from .tfidf import TextTfIdf  # noqa: E402  (placed after fuzzy family)
+
+TEXT_TO_MULTI_OPTION_METHODS.append(TextTfIdf)

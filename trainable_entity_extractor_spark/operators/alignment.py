@@ -174,10 +174,90 @@ def remove_repeated_headers(paragraphs: list[dict], page_height: float | None = 
     ]
 
 
+import re as _re
+
+_SEPARATOR_PATTERNS = [
+    # X16 (ParagraphsFromLanguage.is_paragraph_separators:148-175)
+    r"^\d+[\.\)\-]?\d*$", r"^\(\d+\)$",
+    r"^[a-zA-Z][\.\)\-]?$", r"^\([a-zA-Z]\)$",
+    r"^(?:i|ii|iii|iv|v|vi|vii|viii|ix|x|xi|xii|xiii|xiv|xv)[\.\)\-]?$",
+    r"^\((?:i|ii|iii|iv|v|vi|vii|viii|ix|x|xi|xii|xiii|xiv|xv)\)$",
+    r"^[-–—•∙◦○●\*\+]$",
+    r"^\[\d+\]$", r"^\[[a-zA-Z]\]$",
+    r"^§\s*\d+$", r"^¶\s*\d+$",
+]
+
+
+def is_paragraph_separator(text: str) -> bool:
+    """X16: list markers / roman numerals / bullets / §¶ markers."""
+    text = (text or "").strip()
+    return any(_re.match(p, text, _re.IGNORECASE) for p in _SEPARATOR_PATTERNS)
+
+
+def remove_big_no_text(paragraphs: list[dict], page_width: float | None = None, page_height: float | None = None) -> list[dict]:
+    """F11 (ParagraphsFromLanguage.py:436-457): drop paragraphs whose box
+    covers >=20% of the page with >100 area-per-character (figures). No-op
+    without geometry."""
+    if not paragraphs or page_width is None or page_height is None:
+        return paragraphs
+    threshold_area = 0.2 * page_width * page_height
+    out = []
+    for p in paragraphs:
+        if not p["text"]:
+            continue
+        w, h = p.get("width") or 0.0, p.get("height") or 0.0
+        area = w * h
+        if area < threshold_area:
+            out.append(p)
+            continue
+        if area / max(len(p["text"]), 1) > 100:
+            continue
+        out.append(p)
+    return out
+
+
+def _collide(p1: dict, p2: dict) -> bool:
+    if p1.get("top") is None or p2.get("top") is None or p1["page"] != p2["page"]:
+        return False
+    b1 = (p1["top"], p1["top"] + (p1.get("height") or 0))
+    b2 = (p2["top"], p2["top"] + (p2.get("height") or 0))
+    return min(b1[1], b2[1]) - max(b1[0], b2[0]) > 0
+
+
+def merge_colliding(paragraphs: list[dict]) -> list[dict]:
+    """F14 (ParagraphsFromLanguage.merge_colliding_segments:60-81): merge
+    consecutive paragraph pairs whose boxes vertically collide."""
+    out, i = [], 0
+    while i < len(paragraphs):
+        p = paragraphs[i]
+        if i + 1 < len(paragraphs) and _collide(p, paragraphs[i + 1]):
+            nxt = paragraphs[i + 1]
+            merged = paragraph_features(
+                {
+                    "text": p["text"] + " " + nxt["text"],
+                    "page": p["page"],
+                    "seg_type": p["seg_type"],
+                    "left": min(x for x in (p.get("left"), nxt.get("left")) if x is not None) if p.get("left") is not None else None,
+                    "top": min(x for x in (p.get("top"), nxt.get("top")) if x is not None) if p.get("top") is not None else None,
+                    "width": p.get("width"),
+                    "height": (p.get("height") or 0) + (nxt.get("height") or 0),
+                },
+                p["index"],
+            )
+            out.append(merged)
+            i += 2
+            continue
+        out.append(p)
+        i += 1
+    return out
+
+
 def clean_paragraphs(paragraphs: list[dict]) -> list[dict]:
-    """Fixed cleaning order (MultilingualParagraphAlignerUseCase.py:26-35
-    subset: no-text → headers → adjacent duplicates)."""
-    return remove_adjacent_duplicates(remove_repeated_headers(remove_no_text(paragraphs)))
+    """Fixed cleaning order (MultilingualParagraphAlignerUseCase.py:26-35:
+    big-no-text → no-text → headers → duplicates → colliding merges)."""
+    return merge_colliding(
+        remove_adjacent_duplicates(remove_repeated_headers(remove_no_text(paragraphs)))
+    )
 
 
 # ------------------------------ NW alignment (J4) -------------------------

@@ -400,6 +400,21 @@ def q_connected_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_char_budget_prefix(spark, sf_dir):
+    """F7/W6 running-char-budget shape on the documents table: per lang,
+    keep the doc_id-ordered prefix of documents fitting a 5000-char
+    budget."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("cum_chars", F.sum("n_chars").over(w))
+        .filter(F.col("cum_chars") <= 5000)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.max("cum_chars").alias("chars_used"))
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -428,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_phrases": q_triples_phrases,
         "minhash_lsh_linking": q_minhash_lsh_linking,
         "connected_components": q_connected_components,
+        "char_budget_prefix": q_char_budget_prefix,
     }
 
 
@@ -628,6 +644,13 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
             WHERE len(list_intersect(a.s, b.s)) > 0
             ORDER BY doc_id
+        """,
+        "char_budget_prefix": """
+            SELECT lang, count(*) AS n_docs, max(cum_chars) AS chars_used FROM (
+                SELECT lang, sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum_chars
+                FROM documents) t
+            WHERE cum_chars <= 5000
+            GROUP BY lang ORDER BY lang
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -258,12 +258,18 @@ def q_minhash_buckets(spark, sf_dir):
 
 
 def q_adjacent_duplicates(spark, sf_dir):
-    """F13 adjacent-duplicate detection via lead()."""
+    """F13 adjacent-duplicate detection.
+
+    Scale note: expressed as a doc_id+1 equi-join (fingerprint-only
+    payload), NOT an unpartitioned window — a global `Window.orderBy`
+    funnels every row through one task. The in-engine F13
+    (operators/alignment.py) is per-document and already partitioned."""
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    nxt = fp.select((F.col("doc_id") - 1).alias("doc_id"), F.col("fp").alias("fp_next"))
     return (
-        d.withColumn("next_text", F.lead("text").over(w))
-        .filter(F.col("text") == F.col("next_text"))
+        fp.join(nxt, "doc_id")
+        .filter(F.col("fp") == F.col("fp_next"))
         .select("doc_id")
         .orderBy("doc_id")
     )
@@ -314,10 +320,12 @@ def q_fingerprint_distinct(spark, sf_dir):
 
 def q_ngram_jaccard_consecutive(spark, sf_dir):
     """near-dup: word-3-gram Jaccard between consecutive doc ids."""
-    from trainable_entity_extractor_spark.operators.dedup import word_shingles
+    from trainable_entity_extractor_spark.operators.dedup import word_shingles_hashed
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    # int64-hashed shingles: the join shuffles 8-byte elements, not the
+    # full 3-word shingle strings (the round-1 plan's bottleneck).
+    sh = d.select("doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"))
     return (
@@ -377,19 +385,23 @@ def q_triples_phrases(spark, sf_dir):
 
 
 def q_minhash_lsh_linking(spark, sf_dir):
-    """Stage D MinHash-LSH linking over document texts (rows-only check:
-    murmur3 banding is Spark-internal, not ANSI-SQL-expressible)."""
-    from trainable_entity_extractor_spark.kg.linking import link_mentions
+    """Stage D MinHash-LSH linking over document texts. Oracle-checkable
+    variant: md5 string-min signatures (bit-identical in DuckDB), banded
+    blocking with block cap, signature-agreement scorer — same plan shape
+    as the murmur3/numpy throughput path (link_mentions, pytest-gated)."""
+    from trainable_entity_extractor_spark.kg.linking import link_mentions_portable
 
-    d = _t(spark, sf_dir, "documents").limit(2000)
-    mentions = d.select(F.col("doc_id").cast("string").alias("mention_id"), F.col("text").alias("mention"))
-    return link_mentions(mentions, threshold=0.8)
+    d = _t(spark, sf_dir, "documents")
+    mentions = d.select(
+        F.col("doc_id").cast("long").alias("mention_id"), F.col("text").alias("mention")
+    )
+    return link_mentions_portable(mentions, threshold=0.75).orderBy("a", "b")
 
 
 def q_connected_components(spark, sf_dir):
     """Stage E connected components over a deterministic synthetic edge set
-    derived from orders (custkey chain graph); oracle via SQL is impractical
-    (iterative), rows-only check + pytest union-find oracle."""
+    derived from orders (custkey chain graph). Oracle: DuckDB recursive-CTE
+    transitive closure with min-label aggregation (same min-id tie-break)."""
     from trainable_entity_extractor_spark.kg.canonicalize import connected_components
 
     o = _t(spark, sf_dir, "orders")
@@ -548,7 +560,7 @@ def _oracle_sql_base() -> dict[str, str]:
                        sum(new_sess) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) AS session_id
                 FROM flagged)
-            SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+            SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
             FROM sess GROUP BY user_id ORDER BY user_id
         """,
         "region_revenue": """
@@ -592,10 +604,9 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sigs GROUP BY 1 HAVING count(*) > 1 ORDER BY bucket
         """,
         "adjacent_duplicates": """
-            SELECT doc_id FROM (
-                SELECT doc_id, text, lead(text) OVER (ORDER BY doc_id) AS next_text
-                FROM documents) t
-            WHERE text = next_text ORDER BY doc_id
+            WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents)
+            SELECT a.doc_id FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
+            WHERE a.fp = b.fp ORDER BY a.doc_id
         """,
         "quality_stats": """
             WITH q AS (
@@ -619,7 +630,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "token_counts": """
             SELECT source,
                    sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                       w -> w <> ''))) AS total_tokens,
+                                       w -> w <> '')))::BIGINT AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -632,7 +643,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "ngram_jaccard_consecutive": """
             WITH sh AS (
                 SELECT doc_id,
-                       list_distinct([array_to_string(words[i:i+2], '_')
+                       list_distinct([('0x' || substring(md5(
+                               array_to_string(words[i:i+2], '_')), 1, 15))::BIGINT
                            for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
                 FROM (SELECT doc_id,
                              list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -646,7 +658,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "char_budget_prefix": """
-            SELECT lang, count(*) AS n_docs, max(cum_chars) AS chars_used FROM (
+            SELECT lang, count(*) AS n_docs, max(cum_chars)::BIGINT AS chars_used FROM (
                 SELECT lang, sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum_chars
                 FROM documents) t
             WHERE cum_chars <= 5000
@@ -674,9 +686,62 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY doc_id, obj_id
             ORDER BY doc_id, obj_id
         """,
-        # minhash_lsh_linking / connected_components: iterative & engine-hash
-        # dependent — rows-only checks (gated by dedicated pytest oracles:
-        # tests/test_kg.py union-find + near-dup assertions).
+        "minhash_lsh_linking": """
+            WITH words AS (
+                SELECT doc_id AS mid,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          w -> w <> '')) AS w
+                FROM documents
+            ), sigs AS (
+                SELECT mid,
+                       min(md5('0#' || w)) AS mh0, min(md5('1#' || w)) AS mh1,
+                       min(md5('2#' || w)) AS mh2, min(md5('3#' || w)) AS mh3,
+                       min(md5('4#' || w)) AS mh4, min(md5('5#' || w)) AS mh5,
+                       min(md5('6#' || w)) AS mh6, min(md5('7#' || w)) AS mh7
+                FROM words GROUP BY mid
+            ), keys AS (
+                SELECT mid, 0 AS band, mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS key FROM sigs
+                UNION ALL
+                SELECT mid, 1, mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 FROM sigs
+            ), blocks AS (
+                SELECT band, key FROM keys GROUP BY band, key
+                HAVING count(*) > 1 AND count(*) <= 64
+            ), pairs AS (
+                SELECT DISTINCT k1.mid AS a, k2.mid AS b
+                FROM blocks
+                JOIN keys k1 ON k1.band = blocks.band AND k1.key = blocks.key
+                JOIN keys k2 ON k2.band = blocks.band AND k2.key = blocks.key
+                WHERE k1.mid < k2.mid
+            )
+            SELECT a, b,
+                   round(((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT +
+                          (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT +
+                          (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT +
+                          (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0,
+                         4) AS agreement
+            FROM pairs JOIN sigs sa ON sa.mid = a JOIN sigs sb ON sb.mid = b
+            WHERE ((sa.mh0 = sb.mh0)::INT + (sa.mh1 = sb.mh1)::INT +
+                   (sa.mh2 = sb.mh2)::INT + (sa.mh3 = sb.mh3)::INT +
+                   (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT +
+                   (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 >= 0.75
+            ORDER BY a, b
+        """,
+        "connected_components": """
+            WITH RECURSIVE
+            base AS (
+                SELECT DISTINCT 'c' || (o_custkey % 500)::VARCHAR AS a,
+                                'c' || ((o_custkey + 7) % 500)::VARCHAR AS b
+                FROM orders
+            ),
+            e AS (SELECT a AS u, b AS v FROM base UNION SELECT b, a FROM base),
+            walk(u, reached) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+                UNION
+                SELECT w.u, e.v FROM walk w JOIN e ON w.reached = e.u
+            )
+            SELECT u AS id, min(reached) AS component
+            FROM walk GROUP BY u ORDER BY id
+        """,
     }
 
 

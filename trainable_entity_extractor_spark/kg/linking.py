@@ -224,6 +224,77 @@ def score_pairs(
     return exact.filter(F.col("jaccard") >= threshold)
 
 
+def link_mentions_portable(
+    mentions: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "mention",
+    n_perms: int = 8,
+    bands: int = 2,
+    threshold: float = 0.5,
+    block_cap: int = 64,
+) -> DataFrame:
+    """Oracle-checkable Stage D variant: word-level md5 string-min MinHash
+    (md5 is bit-identical in DuckDB, so an ANSI-SQL oracle can reproduce
+    every step), banded LSH blocking with a block-size cap, and the same
+    signature-agreement scorer as the fast path.
+
+    `link_mentions` (murmur3 + numpy kernel) is the throughput path; this
+    variant exists so the driver's DuckDB gate can verify the
+    block → pair → score semantics end-to-end. Same plan shape: map-only
+    signatures, bucketed self-join (never all-pairs), capped blocks.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    sig_cols = [
+        F.array_min(
+            F.transform(words, lambda x: F.md5(F.concat(F.lit(f"{i}#"), x)))
+        ).alias(f"mh{i}")
+        for i in range(n_perms)
+    ]
+    sigs = mentions.select(F.col(id_col).alias("mid"), *sig_cols)
+
+    rows_per_band = n_perms // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keys = sigs.select("mid", F.explode(band_structs).alias("bk")).select(
+        "mid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    blocks = (
+        keys.groupBy("band", "key")
+        .agg(F.collect_list("mid").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= block_cap))
+    )
+    members = blocks.select(
+        F.monotonically_increasing_id().alias("block_id"), "ids"
+    ).select("block_id", F.explode("ids").alias("m"))
+    pairs = (
+        members.select("block_id", F.col("m").alias("a"))
+        .join(members.select("block_id", F.col("m").alias("b")), "block_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("mid").alias("a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perms)])
+    sb = sigs.select(F.col("mid").alias("b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perms)])
+    agreement = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n_perms)
+    ) / F.lit(float(n_perms))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(agreement, 4).alias("agreement"))
+        .filter(F.col("agreement") >= threshold)
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     id_col: str = "mention_id",

@@ -92,6 +92,21 @@ def word_shingles(col, n: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), "_")))
 
 
+def word_shingles_hashed(col, n: int = 3):
+    """Word n-gram shingles hashed to int64 (md5-prefix, engine-portable).
+
+    Shuffle-friendly: a join/agg over hashed shingles moves 8-byte longs
+    instead of full shingle strings — at 100 TB that is the difference
+    between shuffling the corpus and shuffling a fingerprint of it.
+    Collision odds at 60 bits are negligible for set-overlap estimates.
+    DuckDB mirror: ('0x' || substring(md5(s), 1, 15))::BIGINT.
+    """
+    return F.transform(
+        word_shingles(col, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

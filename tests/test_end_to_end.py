@@ -83,6 +83,60 @@ def test_text_to_multi_option_fuzzy_all_100(spark, tmp_path):
     assert {v["label"] for v in suggestions["b"]["values"]} == {"banana", "orange"}
 
 
+def test_retrain_applies_empty_placeholder(tmp_path, monkeypatch):
+    """The winner's full-data retrain must see the same training-prep
+    transform as the tournament folds: with 9 samples (an 80/20 split, so
+    prepared != all) the empty-text row must still reach fit() as EMPTY.
+    Regression: round-1 tournament.train only used the prepared frame when
+    its length matched the input, silently skipping the placeholder."""
+    from trainable_entity_extractor_spark.domain import (
+        EMPTY_PLACEHOLDER,
+        ExtractionContext,
+    )
+    from trainable_entity_extractor_spark.extractors.registry import (
+        TextToMultiOptionExtractor,
+    )
+    from trainable_entity_extractor_spark.plans import tournament
+
+    identifier = ExtractionIdentifier("retrain_ph", output_path=str(tmp_path))
+    options = [Option("1", "apple"), Option("2", "banana")]
+    o = lambda i: options[i].to_dict()
+    samples = make_samples(
+        [
+            {"source_text": "I like apple", "values": [o(0)]},
+            {"source_text": "I like banana", "values": [o(1)]},
+            {"source_text": "apple again", "values": [o(0)]},
+            {"source_text": "banana again", "values": [o(1)]},
+            {"source_text": "more apple", "values": [o(0)]},
+            {"source_text": "more banana", "values": [o(1)]},
+            {"source_text": "yet more apple", "values": [o(0)]},
+            {"source_text": "   ", "values": []},  # empty → EMPTY placeholder
+            {"source_text": "final banana", "values": [o(1)]},
+        ]
+    )
+    ctx = ExtractionContext(identifier, options, multi_value=True)
+    extractor = TextToMultiOptionExtractor()
+
+    fit_frames: list[pd.DataFrame] = []
+    orig_fit = {}
+    for method_cls in extractor.METHODS:
+        orig_fit[method_cls] = method_cls.fit
+
+        def spy(self, frame, c, _orig=method_cls.fit):
+            fit_frames.append(frame)
+            return _orig(self, frame, c)
+
+        monkeypatch.setattr(method_cls, "fit", spy)
+
+    tournament.train(extractor, samples, ctx)
+    # the retrain is the final fit call, over ALL samples
+    retrain_frame = fit_frames[-1]
+    assert len(retrain_frame) == len(samples)
+    texts = retrain_frame["source_text"].tolist()
+    assert EMPTY_PLACEHOLDER in texts
+    assert not any((t or "").strip() == "" for t in texts)
+
+
 def test_pdf_to_multi_option_fuzzy_all_75(spark, tmp_path):
     """Reference test_end_to_end.py:79-157: typo-tolerant matching; winner
     must be FuzzyAll75."""

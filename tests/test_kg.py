@@ -110,6 +110,29 @@ def test_connected_components_vs_union_find(spark):
     assert result == {i: oracle[i] for i in touched}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 60-vertex path graph (diameter 59) must converge well inside
+    max_iter=20: pointer jumping makes the loop O(log diameter), and the
+    distributed path must not silently return unconverged labels."""
+    n = 60
+    edge_list = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(edge_list, "a string, b string")
+    result = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0, max_iter=20).collect()
+    }
+    assert result == {f"v{i:03d}": "v000" for i in range(n)}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    edge_list = [(f"w{i:03d}", f"w{i + 1:03d}") for i in range(40)]
+    edges = spark.createDataFrame(edge_list, "a string, b string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, driver_threshold=0, max_iter=2)
+
+
 def test_canonical_entities_singletons_and_clusters(spark):
     mentions = spark.createDataFrame(
         [("a", "alpha beta"), ("b", "alpha  beta"), ("c", "gamma delta")],

@@ -104,8 +104,15 @@ class ExtractorBase:
     def can_be_used(self, samples: pd.DataFrame, ctx: ExtractionContext) -> bool:
         raise NotImplementedError
 
+    def prepare_samples(self, samples: pd.DataFrame, ctx: ExtractionContext) -> pd.DataFrame:
+        """Training-prep transform applied to EVERY frame that reaches a
+        method's fit — both tournament splits and the winner's full-data
+        retrain (the reference applies e.g. the EMPTY placeholder to all
+        data, TextToMultiOptionExtractor.py:90). Identity by default."""
+        return samples
+
     def prepare_for_training(self, samples: pd.DataFrame, ctx: ExtractionContext):
-        return get_train_test_split(samples)
+        return get_train_test_split(self.prepare_samples(samples, ctx))
 
     # ---------------- tournament scoring (driver-side, small data) --------
 
@@ -144,10 +151,14 @@ class ExtractorBase:
         (entity_name, source_text, segments) → suggestions DataFrame.
 
         mapInPandas keeps the kernel Arrow-batched; the method object,
-        context and artifact are closure-serialized to executors (small,
-        JSON-able — the reference ships the same state as its model dir).
+        context and artifact travel to executors as an explicit
+        sparkContext.broadcast (one torrent transfer per executor) instead
+        of being closure-serialized into every task — a FuzzyCommas alias
+        dict or regex list can reach MBs, and per-task closures triggered
+        'task of very large size' warnings in the round-1 bench.
         """
         df = self.fix_empty_prediction(df)
+        state_bc = df.sparkSession.sparkContext.broadcast((method, ctx, artifact))
         for col in ("source_text", "segments"):
             if col not in df.columns:
                 df = df.withColumn(col, F.lit(None).cast("string" if col == "source_text" else "array<struct<seg_idx:int,page:int,left:double,top:double,width:double,height:double,seg_type:string,text:string,ml_label:int>>"))
@@ -161,9 +172,10 @@ class ExtractorBase:
             from ..functions.context_markup import format_segment_text
 
             SCALE_RATIO = 0.75  # SegmentBox.py:10
+            bc_method, bc_ctx, bc_artifact = state_bc.value
 
             for pdf in batches:
-                preds = method.predict_pandas(pdf, ctx, artifact)
+                preds = bc_method.predict_pandas(pdf, bc_ctx, bc_artifact)
                 if kind == "multi_option":
                     values, pages, boxes_col, seg_texts = [], [], [], []
                     for (_, row), p in zip(pdf.iterrows(), preds):

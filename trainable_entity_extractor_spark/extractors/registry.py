@@ -51,11 +51,14 @@ class TextToMultiOptionExtractor(ExtractorBase):
     def can_be_used(self, samples, ctx) -> bool:
         return bool(ctx.options) and _has_any_text(samples, "source_text")
 
-    def prepare_for_training(self, samples, ctx):
+    def prepare_samples(self, samples, ctx):
         samples = samples.copy()
         mask = samples["source_text"].fillna("").str.strip() == ""
         samples.loc[mask, "source_text"] = EMPTY_PLACEHOLDER
-        return get_stratified_split(samples, ctx)
+        return samples
+
+    def prepare_for_training(self, samples, ctx):
+        return get_stratified_split(self.prepare_samples(samples, ctx), ctx)
 
     def fix_empty_prediction(self, df: DataFrame) -> DataFrame:
         return df.withColumn(

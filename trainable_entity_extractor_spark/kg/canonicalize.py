@@ -79,47 +79,68 @@ def connected_components(
 
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(width, n_edges // 50_000 + 1))
+    # explicit repartition on the loop frames — NOT a session-global
+    # spark.sql.shuffle.partitions mutation, which concurrent queries in
+    # the same session would observe (AQE coalesces the loop's wide
+    # shuffles down to `parts`-sized outputs anyway).
     sym = sym.repartition(parts, "u").localCheckpoint(eager=True)
 
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        labels = (
-            sym.select(F.col("u").alias("id"))
-            .distinct()
-            .withColumn("component", F.col("id"))
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    converged = False
+    for _ in range(max_iter):
+        # pass 1 — hash-min: candidate label per vertex = min over
+        # neighbors' current labels
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("u", "id")
+        )
+        new_min = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+        )
+        stepped = labels.join(neighbor_min, "id", "left").select(
+            "id", new_min.alias("component")
+        )
+        # pass 2 — pointer jumping: adopt the label of your label
+        # (component -> that vertex's own component). Halves the remaining
+        # path every iteration, so convergence is O(log diameter) rather
+        # than O(diameter) — a 10^6-long chain converges in ~20 rounds.
+        parent = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("jumped")
+        )
+        jumped = (
+            stepped.join(parent, "component", "left")
+            .select("id", F.least(F.col("component"), F.coalesce("jumped", "component")).alias("component"))
+        )
+        # change flag carried out of the same frame: the convergence check
+        # scans the (small, checkpointed) result, no extra join job.
+        new_labels = (
+            jumped.withColumnRenamed("component", "new_component")
+            .join(labels, "id")
+            .select(
+                "id",
+                F.col("new_component").alias("component"),
+                (F.col("new_component") != F.col("component")).alias("_changed"),
+            )
             .localCheckpoint(eager=True)
         )
-
-        for _ in range(max_iter):
-            # candidate label per vertex: min over neighbors' current labels
-            neighbor_min = (
-                sym.join(labels.withColumnRenamed("id", "v"), "v")
-                .groupBy("u")
-                .agg(F.min("component").alias("nbr_component"))
-                .withColumnRenamed("u", "id")
-            )
-            # carry a change flag out of the same join — the convergence
-            # check then only scans the (tiny, checkpointed) result instead
-            # of paying another join job per iteration.
-            new_min = F.least(
-                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-            )
-            new_labels = (
-                labels.join(neighbor_min, "id", "left")
-                .select(
-                    "id",
-                    new_min.alias("new_component"),
-                    (new_min != F.col("component")).alias("_changed"),
-                )
-                .withColumnRenamed("new_component", "component")
-            ).localCheckpoint(eager=True)
-            changed = new_labels.filter("_changed").limit(1).count()
-            labels = new_labels.drop("_changed")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(graph diameter > 2^{max_iter}); raise max_iter"
+        )
     return labels
 
 

@@ -61,10 +61,10 @@ def train(
         raise RuntimeError("No method succeeded in the tournament")
 
     method = next(m() for m in extractor.METHODS if m.__name__ == winner)
-    # empty-text placeholder is part of prepare_for_training; retrain gets
-    # the same treatment
-    prepared, _ = extractor.prepare_for_training(samples, ctx)
-    all_samples = prepared if len(prepared) == len(samples) else samples
+    # the training-prep transform (e.g. EMPTY placeholder rewrite) applies
+    # to the winner's full-data retrain too — unconditionally, regardless of
+    # how prepare_for_training split the tournament folds
+    all_samples = extractor.prepare_samples(samples, ctx)
     artifact = method.fit(all_samples, ctx)
 
     job = ExtractorJob(

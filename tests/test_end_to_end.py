@@ -83,6 +83,54 @@ def test_text_to_multi_option_fuzzy_all_100(spark, tmp_path):
     assert {v["label"] for v in suggestions["b"]["values"]} == {"banana", "orange"}
 
 
+def test_full_selector_composition_wins_and_predicts_spark(spark, tmp_path):
+    """Free-form labels under a TITLE marker: regex/date methods can't
+    learn them, the full 95-dim SegmentSelector composition must win the
+    tournament and extract from unseen docs THROUGH the Spark predict
+    path (regression: dynamically-built composed method classes must
+    survive the broadcast to executors — requires cloudpickle)."""
+    names = [
+        "Garcia Lopez", "Smith Johnson", "Chen Wei", "Okafor Adichie",
+        "Mueller Schmidt", "Rossi Bianchi", "Tanaka Sato", "Kowalski Nowak",
+        "Ivanov Petrov", "Silva Santos", "Dubois Martin", "Hansen Olsen",
+    ]
+
+    def pos_seg(text, idx, top, seg_type="TEXT", ml=0):
+        s = seg(text, idx)
+        s.update({"top": top, "seg_type": seg_type, "ml_label": ml})
+        return s
+
+    def doc(name, seed):
+        import numpy as np
+
+        r = np.random.RandomState(seed)
+        return [
+            pos_seg(f"opening remarks {r.randint(1000)}", 0, 10.0),
+            pos_seg("Rapporteur", 1, 40.0, seg_type="TITLE"),
+            pos_seg(name, 2, 60.0, ml=1),
+            pos_seg(f"procedural text {r.randint(1000)}", 3, 90.0),
+        ]
+
+    samples = make_samples(
+        [{"label_text": n, "segments": doc(n, i)} for i, n in enumerate(names)]
+    )
+    extractor = SparkTrainableEntityExtractor(
+        spark, ExtractionIdentifier("e2e_full_sel", output_path=str(tmp_path))
+    )
+    success, message = extractor.train(samples, options=[], multi_value=False)
+    assert success, message
+    job = extractor.get_extractor_job()
+    assert job.method_name == "PdfToTextSegmentSelectorSameInputOutputMethod"
+
+    pred_df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"entity_name": "x", "source_text": "", "segments": doc("Yamamoto Suzuki", 77)}]
+        )
+    )
+    rows = extractor.predict(pred_df).collect()
+    assert rows[0]["text"] == "Yamamoto Suzuki"
+
+
 def test_retrain_applies_empty_placeholder(tmp_path, monkeypatch):
     """The winner's full-data retrain must see the same training-prep
     transform as the tournament folds: with 9 samples (an 80/20 split, so

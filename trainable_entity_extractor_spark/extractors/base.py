@@ -158,7 +158,14 @@ class ExtractorBase:
         'task of very large size' warnings in the round-1 bench.
         """
         df = self.fix_empty_prediction(df)
-        state_bc = df.sparkSession.sparkContext.broadcast((method, ctx, artifact))
+        # cloudpickle, not plain pickle: composed methods are dynamically
+        # built classes (pdf_to_text_method_builder analog) that the stdlib
+        # pickler can't resolve by module attribute lookup
+        from pyspark import cloudpickle
+
+        state_bc = df.sparkSession.sparkContext.broadcast(
+            cloudpickle.dumps((method, ctx, artifact))
+        )
         for col in ("source_text", "segments"):
             if col not in df.columns:
                 df = df.withColumn(col, F.lit(None).cast("string" if col == "source_text" else "array<struct<seg_idx:int,page:int,left:double,top:double,width:double,height:double,seg_type:string,text:string,ml_label:int>>"))
@@ -172,7 +179,9 @@ class ExtractorBase:
             from ..functions.context_markup import format_segment_text
 
             SCALE_RATIO = 0.75  # SegmentBox.py:10
-            bc_method, bc_ctx, bc_artifact = state_bc.value
+            from pyspark import cloudpickle as _cp
+
+            bc_method, bc_ctx, bc_artifact = _cp.loads(state_bc.value)
 
             for pdf in batches:
                 preds = bc_method.predict_pandas(pdf, bc_ctx, bc_artifact)

@@ -483,7 +483,156 @@ class PreviousWordsSentenceSelectorFuzzyCommas(FastSegmentSelectorFuzzy95):
         return pd.Series(out, index=pdf.index, dtype=object)
 
 
+def token_segments(segments: list[dict]) -> list[dict]:
+    """Token-granularity rebuild (NextWordsTokenSelectorFuzzy75
+    .get_token_extraction_data:43-62: every raw PdfToken becomes its own
+    one-token segment). Our sample rows retain merged segments, not the
+    poppler token stream, so the deterministic equivalent is one segment
+    per whitespace token of the segmenter's own text (the segmenter
+    whitespace-normalizes, so the split is loss-free)."""
+    out = []
+    for seg in segments:
+        for w in (seg.get("text") or "").split():
+            t = dict(seg)
+            t["text"] = w
+            t["ml_label"] = 0
+            out.append(t)
+    return out
+
+
+class PreviousWordsTokenSelectorFuzzy75(FastSegmentSelectorFuzzy95):
+    """PreviousWordsTokenSelectorFuzzy75.py: rebuild at token granularity,
+    mark tokens fuzzily matching the sample's options (threshold 75),
+    learn predictive previous-words, select tokens at predict time, then
+    FuzzyAll75 over the selected tokens' texts."""
+
+    threshold = 75.0
+    direction = "prev"
+
+    def fit(self, train_pdf, ctx):
+        cleaned = self._cleaned_options(ctx)
+        marked: list[dict] = []
+        for _, row in train_pdf.iterrows():
+            toks = token_segments([dict(s) for s in (row.get("segments") or [])])
+            value_ids = {v["id"] for v in (row.get("values") or [])}
+            sample_options = [c for c, o in zip(cleaned, ctx.options) if o.id in value_ids]
+            for seg in toks:
+                if len(self._appearances(seg.get("text") or "", sample_options)) >= 1:
+                    seg["ml_label"] = 1
+            marked.extend(toks)
+        return {"selector": _WordsSelector(self.direction).fit(marked)}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        selector = _WordsSelector(self.direction)
+        inner = FuzzyAll75()
+        out = []
+        for _, row in pdf.iterrows():
+            segs = [dict(s) if not isinstance(s, dict) else dict(s) for s in (row.get("segments") or [])]
+            toks = token_segments(segs)
+            selected = selector.select(toks, artifact.get("selector", {}))
+            sub = pd.DataFrame([{"segments": selected, "source_text": None}])
+            out.append(inner.predict_pandas(sub, ctx, {}).iloc[0])
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
+class NextWordsTokenSelectorFuzzy75(PreviousWordsTokenSelectorFuzzy75):
+    direction = "next"
+
+
+class FuzzySegmentSelector(_FuzzyBase):
+    """FuzzySegmentSelector.py:65-84 + 100-137: mark the first segment
+    (or segment + next same-type segment) where ≥ceil(0.75·n_values) of
+    the sample's cleaned values fuzzily appear; train the FULL
+    SegmentSelector (95-dim boosted trees) on those marks; at predict
+    time run the model and fuzzy-match cleaned options (threshold 75)
+    over the selected segments only."""
+
+    threshold = 75.0
+
+    def _cleaned_options(self, ctx):
+        return clean_labels_keep_long([py_remove_accents(o.label.lower()) for o in ctx.options])
+
+    def _appearances(self, seg_text: str, options: list[str]) -> list[str]:
+        out = []
+        for option in options:
+            if len(seg_text) < math.ceil(len(option)):
+                continue
+            if _cached_partial_ratio(option, seg_text.lower()) >= self.threshold:
+                out.append(option)
+        return list(dict.fromkeys(out))
+
+    def can_be_used(self, train_pdf, ctx) -> bool:
+        return len(train_pdf) <= 200
+
+    def _mark(self, segments: list[dict], cleaned_values: list[str]) -> None:
+        """mark_segments_for_segment_selector:113-131: first segment pair
+        reaching the appearance threshold gets ml_label=1, then stop."""
+        need = math.ceil(len(cleaned_values) * self.threshold / 100.0)
+        if not need:
+            return
+        for i, seg in enumerate(segments):
+            count = len(self._appearances(seg.get("text") or "", cleaned_values))
+            nxt = next(
+                (
+                    s
+                    for s in segments[i + 1 :]
+                    if (s.get("seg_type") or "TEXT") == (seg.get("seg_type") or "TEXT")
+                ),
+                None,
+            )
+            nxt_count = (
+                len(self._appearances(nxt.get("text") or "", cleaned_values)) if nxt else 0
+            )
+            if nxt_count and need <= count + nxt_count:
+                seg["ml_label"] = 1
+                nxt["ml_label"] = 1
+                return
+            if need <= count:
+                seg["ml_label"] = 1
+                return
+
+    def fit(self, train_pdf, ctx):
+        from .segment_selector_full import FullSegmentSelector
+
+        cleaned = self._cleaned_options(ctx)
+        docs: list[list[dict]] = []
+        for _, row in train_pdf.iterrows():
+            segs = [dict(s) for s in (row.get("segments") or [])]
+            value_ids = {v["id"] for v in (row.get("values") or [])}
+            sample_values = [c for c, o in zip(cleaned, ctx.options) if o.id in value_ids]
+            self._mark(segs, sample_values)
+            docs.append(segs)
+        return {"selector": FullSegmentSelector().fit(docs)}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        from .segment_selector_full import FullSegmentSelector
+
+        selector = FullSegmentSelector()
+        cleaned = self._cleaned_options(ctx)
+        label_to_option = {}
+        for clean, option in zip(cleaned, ctx.options):
+            label_to_option.setdefault(clean, option)
+        out = []
+        for _, row in pdf.iterrows():
+            segs = [dict(s) if not isinstance(s, dict) else dict(s) for s in (row.get("segments") or [])]
+            selected = selector.select(segs, artifact.get("selector", {}))
+            values = []
+            seen: set[str] = set()
+            for seg in selected:
+                for opt in self._appearances(seg.get("text") or "", cleaned):
+                    if opt in seen or opt not in label_to_option:
+                        continue
+                    seen.add(opt)
+                    values.append(
+                        label_to_option[opt].to_dict() | {"segment_text": seg.get("text") or ""}
+                    )
+            out.append(values)
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
 PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
+    # reference order (PdfToMultiOptionExtractor.py:102-132), external
+    # models (SetFit/Ollama/Gemini composites) excluded
     FuzzyFirst,
     FuzzyLast,
     FuzzyFirstCleanLabel,
@@ -491,10 +640,10 @@ PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FuzzyAll100,
     FuzzyAll88,
     FuzzyAll75,
-    # Previous/NextWordsTokenSelectorFuzzy75 are round-2 items (they need
-    # the raw-token rebuild, SURVEY §2.9 M6);
+    PreviousWordsTokenSelectorFuzzy75,
+    NextWordsTokenSelectorFuzzy75,
     PreviousWordsSentenceSelectorFuzzyCommas,
     FastSegmentSelectorFuzzy95,
     FastSegmentSelectorFuzzyCommas,
-    # SetFit/Ollama/Gemini composites are external models — absent.
+    FuzzySegmentSelector,
 ]

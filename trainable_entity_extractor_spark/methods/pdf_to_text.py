@@ -149,6 +149,60 @@ def build_selector_text_method(text_method_cls: type[MethodBase], near: int = 0)
     return _Composed
 
 
+def build_full_selector_text_method(text_method_cls: type[MethodBase]) -> type[MethodBase]:
+    """M10 composition with the FULL SegmentSelector (95-dim boosted
+    trees, PdfToTextExtractor.segment_selector_methods): the model selects
+    segments, the text method consumes their joined texts."""
+
+    class _Composed(MethodBase):
+        kind = "to_text"
+
+        def fit(self, train_pdf, ctx):
+            from .segment_selector_full import FullSegmentSelector
+
+            docs = [_segments(row) for _, row in train_pdf.iterrows()]
+            selector = FullSegmentSelector()
+            selector_artifact = selector.fit(docs)
+
+            rows = []
+            for segs in docs:
+                selected = [s for s in segs if s.get("ml_label")] or selector.select(
+                    segs, selector_artifact
+                )
+                rows.append(
+                    {
+                        "source_text": " ".join(s.get("text") or "" for s in selected),
+                        "segments": None,
+                        "segment_selector_texts": [s.get("text") or "" for s in selected],
+                    }
+                )
+            train_sel = pd.DataFrame(rows)
+            train_sel["label_text"] = train_pdf["label_text"].tolist()
+            train_sel["language_iso"] = (
+                train_pdf["language_iso"].tolist() if "language_iso" in train_pdf else ""
+            )
+            inner = text_method_cls()
+            return {"selector": selector_artifact, "inner": inner.fit(train_sel, ctx)}
+
+        def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+            from .segment_selector_full import FullSegmentSelector
+
+            selector = FullSegmentSelector()
+            rows = []
+            for _, row in pdf.iterrows():
+                selected = selector.select(_segments(row), artifact.get("selector", {}))
+                rows.append(
+                    {"source_text": " ".join(s.get("text") or "" for s in selected), "segments": None}
+                )
+            inner = text_method_cls()
+            sub = pd.DataFrame(rows, index=pdf.index)
+            return inner.predict_pandas(sub, ctx, artifact.get("inner", {}))
+
+    _Composed.__name__ = f"PdfToTextSegmentSelector{text_method_cls.__name__}"
+    _Composed.__qualname__ = _Composed.__name__
+    return _Composed
+
+
 _TEXT_METHODS = [
     SameInputOutputMethod,
     RegexMethod,
@@ -163,4 +217,5 @@ PDF_TO_TEXT_METHODS: list[type[MethodBase]] = (
     + [build_selector_text_method(m, near=0) for m in _TEXT_METHODS]
     + [build_selector_text_method(m, near=1) for m in _TEXT_METHODS]
     + [build_selector_text_method(m, near=4) for m in _TEXT_METHODS]
+    + [build_full_selector_text_method(m) for m in _TEXT_METHODS]
 )

@@ -59,11 +59,15 @@ def predictive_words(text_segments: list[dict]) -> tuple[list[str], list[str]]:
 
 
 def segment_features(
-    segments: list[dict], previous_words: list[str], next_words: list[str]
+    segments: list[dict], previous_words: list[str], next_words: list[str],
+    positions: bool = False,
 ) -> np.ndarray:
     """get_features:44-68 per segment: prev/next word flags + comma pct.
     Neighbor lookup runs over the text-type subsequence when the segment is
-    text-typed, else over the raw sequence (reference behavior)."""
+    text-typed, else over the raw sequence (reference behavior).
+    positions=True appends the 7 geometry features of
+    FastAndPositionsSegmentSelector.get_features:7-38 (page, top, left,
+    width, height, right, bottom)."""
     text_segments = [s for s in segments if (s.get("seg_type") or "TEXT") in TEXT_TYPES]
     text_ids = {id(s): i for i, s in enumerate(text_segments)}
     rows = []
@@ -83,8 +87,23 @@ def segment_features(
         feats += [1.0 if w in next_words_list else 0.0 for w in next_words]
         text = seg.get("text") or ""
         feats.append(text.count(",") / len(text) if text else 0.0)
+        if positions:
+            left = float(seg.get("left") or 0.0)
+            top = float(seg.get("top") or 0.0)
+            width = float(seg.get("width") or 0.0)
+            height = float(seg.get("height") or 0.0)
+            feats += [
+                float(seg.get("page") or 1),
+                top,
+                left,
+                width,
+                height,
+                left + width,
+                top + height,
+            ]
         rows.append(feats)
-    return np.array(rows, dtype=np.float64) if rows else np.zeros((0, len(previous_words) + len(next_words) + 1))
+    n_feats = len(previous_words) + len(next_words) + 1 + (7 if positions else 0)
+    return np.array(rows, dtype=np.float64) if rows else np.zeros((0, n_feats))
 
 
 def _fit_logreg(x: np.ndarray, y: np.ndarray, epochs: int = 300, lr: float = 0.5) -> np.ndarray:
@@ -101,10 +120,12 @@ class FastSegmentSelector:
     """fit → artifact dict; select → labeled subset. Backend: lightgbm if
     present, else the numpy logistic regression."""
 
+    positions = False  # FastAndPositionsSegmentSelector flips this
+
     def fit(self, segments: list[dict]) -> dict:
         text_segments = [s for s in segments if (s.get("seg_type") or "TEXT") in TEXT_TYPES]
         prev_w, next_w = predictive_words(text_segments)
-        x = segment_features(segments, prev_w, next_w)
+        x = segment_features(segments, prev_w, next_w, positions=self.positions)
         y = np.array([1.0 if s.get("ml_label") else 0.0 for s in segments])
         artifact = {"previous_words": prev_w, "next_words": next_w, "backend": "logreg"}
         if len(x) == 0 or x.shape[1] == 0 or y.sum() == 0:
@@ -119,12 +140,24 @@ class FastSegmentSelector:
             artifact["backend"] = "lightgbm"
             artifact["model"] = model.model_to_string()
         except ImportError:
-            artifact["weights"] = _fit_logreg(x, y).tolist()
+            if self.positions:
+                # geometry features are unnormalized; boosted trees are
+                # scale-invariant like the reference's LightGBM, logreg
+                # is not — use the numpy GBM for the positions variant
+                from ..functions.gbm import fit_gbm
+
+                artifact["backend"] = "gbm"
+                artifact["model"] = fit_gbm(x, y, n_rounds=50, lr=0.1, max_depth=3)
+            else:
+                artifact["weights"] = _fit_logreg(x, y).tolist()
         return artifact
 
     def scores(self, segments: list[dict], artifact: dict) -> np.ndarray:
         x = segment_features(
-            segments, artifact.get("previous_words", []), artifact.get("next_words", [])
+            segments,
+            artifact.get("previous_words", []),
+            artifact.get("next_words", []),
+            positions=self.positions,
         )
         if len(x) == 0:
             return np.zeros(0)
@@ -133,6 +166,10 @@ class FastSegmentSelector:
 
             booster = lgb.Booster(model_str=artifact["model"])
             return np.asarray(booster.predict(x))
+        if artifact.get("backend") == "gbm" and artifact.get("model"):
+            from ..functions.gbm import predict_gbm
+
+            return predict_gbm(artifact["model"], x)
         w = np.array(artifact.get("weights") or [])
         if w.size != x.shape[1] + 1:
             return np.zeros(len(x))
@@ -154,3 +191,11 @@ class FastSegmentSelector:
                 smoothed[i] = keep[lo:hi].any()
             keep = smoothed
         return [seg for seg, k in zip(segments, keep) if k]
+
+
+class FastAndPositionsSegmentSelector(FastSegmentSelector):
+    """FastAndPositionsSegmentSelector.py:7-38: the fast selector's word
+    flags + comma pct, plus 7 raw geometry features (page, top, left,
+    width, height, right, bottom)."""
+
+    positions = True

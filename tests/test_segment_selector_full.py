@@ -186,3 +186,85 @@ def test_fast_and_positions_uses_geometry():
     assert truth, "fixture must have positives"
     jacc = len(picked & truth) / max(len(picked | truth), 1)
     assert jacc >= 0.9, (len(picked), len(truth), jacc)
+
+
+# ------------------------------------------- feature-set variants
+
+
+def test_selector_variants_all_learn_layout_task():
+    """Every reference feature-set variant (segment_selector/methods/*)
+    must solve the title-marker layout task; feature widths differ by
+    variant."""
+    from trainable_entity_extractor_spark.methods.segment_selector_full import (
+        SELECTOR_VARIANTS,
+        doc_features,
+    )
+
+    train_docs = [_layout_doc(10, None, seed) for seed in range(25)]
+    test_docs = [_layout_doc(10, None, seed) for seed in range(200, 210)]
+
+    for name, cls in SELECTOR_VARIANTS.items():
+        sel = cls()
+        artifact = sel.fit(train_docs)
+        assert artifact["backend"] in ("gbm", "lightgbm"), name
+        tp = fp = fn = 0
+        for doc in test_docs:
+            unlabeled = [dict(s, ml_label=0) for s in doc]
+            picked = {s["seg_idx"] for s in sel.select(unlabeled, artifact)}
+            truth = {s["seg_idx"] for s in doc if s.get("ml_label")}
+            tp += len(picked & truth)
+            fp += len(picked - truth)
+            fn += len(truth - picked)
+        f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+        assert f1 >= 0.8, (name, f1)
+
+
+def test_variant_feature_widths():
+    from trainable_entity_extractor_spark.methods.segment_selector_full import (
+        doc_features,
+    )
+
+    segs = [_mkseg(0, seg_type="TITLE"), _mkseg(1), _mkseg(2)]
+    assert doc_features(segs, ["a"]).shape[1] == 97
+    assert doc_features(segs, ["a"] * 6).shape[1] == 100  # frequent-6
+    assert doc_features(segs, ["a"], next_title=True).shape[1] == 118
+    assert doc_features(segs, ["a"], titles_history=3).shape[1] == 139
+    # avoiding-words list (3+4) widens the flag block
+    assert doc_features(segs, ["a"] * 7).shape[1] == 101
+
+
+def test_best_features_subset_refit():
+    from trainable_entity_extractor_spark.methods.segment_selector_full import (
+        SegmentSelectorBestFeatures10,
+    )
+
+    train_docs = [_layout_doc(10, None, seed) for seed in range(25)]
+    sel = SegmentSelectorBestFeatures10()
+    artifact = sel.fit(train_docs)
+    assert len(artifact["feature_subset"]) <= 10
+    # still predicts after the refit
+    doc = _layout_doc(10, None, 300)
+    picked = {s["seg_idx"] for s in sel.select([dict(s, ml_label=0) for s in doc], artifact)}
+    truth = {s["seg_idx"] for s in doc if s.get("ml_label")}
+    assert picked == truth
+
+
+def test_filter_segments_both_ends():
+    from trainable_entity_extractor_spark.operators.filter_segments import (
+        filter_segments_both_ends,
+    )
+
+    segs = [
+        {"seg_idx": i, "page": 1, "seg_type": "TEXT", "text": f"word{i:03d} " * 20, "ml_label": 0}
+        for i in range(40)
+    ]
+    out = filter_segments_both_ends(segs, budget_start=600, budget_end=600)
+    texts = [s["text"] for s in out]
+    total = sum(len(t) + 1 for t in texts)
+    assert total <= 1300  # both budgets + separators
+    # must contain material from BOTH ends, nothing from the middle
+    idxs = sorted(s["seg_idx"] for s in out)
+    assert idxs[0] == 0 and idxs[-1] == 39
+    assert all(i < 10 or i > 30 for i in idxs)
+    # empty input → placeholder
+    assert filter_segments_both_ends([])[0]["text"] == "no text"

@@ -120,6 +120,23 @@ def fit_gbm(
     return {"prior": prior, "trees": trees, "lr": lr}
 
 
+def feature_importance(artifact: dict, n_features: int) -> list[int]:
+    """Split-count importance per feature (LightGBM feature_importance
+    analog, used by the BestFeatures selector variants)."""
+    counts = [0] * n_features
+
+    def walk(node: dict):
+        if "leaf" in node:
+            return
+        counts[node["feat"]] += 1
+        walk(node["lt"])
+        walk(node["ge"])
+
+    for tree in artifact.get("trees", []):
+        walk(tree)
+    return counts
+
+
 def predict_gbm(artifact: dict, X: np.ndarray) -> np.ndarray:
     """P(y=1) per row."""
     X = np.asarray(X, dtype=np.float64)

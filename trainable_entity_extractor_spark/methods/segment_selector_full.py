@@ -149,13 +149,30 @@ def _other_block(b: np.ndarray, n_segs: float, n_pages: float, pw: float, ph: fl
     )
 
 
-def doc_features(segments: list[dict], frequent_words: list[str]) -> np.ndarray:
-    """97-dim feature matrix for one document (29 base + 22 prev + 22 next
-    + 21 last-title + 3 frequent-word flags, SegmentLightgbmFrequentWords
-    .get_features_array)."""
+def doc_features(
+    segments: list[dict],
+    frequent_words: list[str],
+    weight_by_len: bool = False,
+    next_title: bool = False,
+    titles_history: int = 1,
+) -> np.ndarray:
+    """Feature matrix for one document. Default layout = 97-dim
+    (29 base + 22 prev + 22 next + 21 last-title + 3 frequent-word flags,
+    SegmentLightgbmFrequentWords.get_features_array). Variant knobs:
+    - weight_by_len: word flags become 1/n_words (SegmentCommonWordsWeights
+      .set_most_frequent_words:265-269)
+    - next_title: append the NEXT title's 21-block too
+      (SegmentNextPreviousTitle.get_features_array:36-40)
+    - titles_history: number of preceding-title blocks
+      (SegmentTitlesHistory.get_features_array: last 3 titles)
+    """
+    n_freq = max(len(frequent_words or []), 3)
     n = len(segments)
+    width = (
+        N_BASE + 2 * N_OTHER + N_TITLE * (titles_history + (1 if next_title else 0)) + n_freq
+    )
     if n == 0:
-        return np.zeros((0, N_BASE + 2 * N_OTHER + N_TITLE + 3))
+        return np.zeros((0, width))
     b = _base_features(segments)
     pw = max(float(b[:, 19].max()), 1.0)  # page-width proxy: max right
     ph = max(float(b[:, 18].max()), 1.0)  # page-height proxy: max bottom
@@ -216,33 +233,56 @@ def doc_features(segments: list[dict], frequent_words: list[str]) -> np.ndarray:
     prev_sorted = np.vstack([zeros_other, other_sorted[:-1]])
     next_sorted = np.vstack([other_sorted[1:], zeros_other])
 
-    # last preceding TITLE (21 features: other block minus the
-    # n_segments-index slot, per get_last_title_features)
+    # preceding TITLE blocks (21 features each: other block minus the
+    # n_segments-index slot, per get_last_title_features); titles_history
+    # keeps the last `titles_history` titles (SegmentTitlesHistory)
     title_cols = [0, 2, 3] + list(range(4, N_OTHER))  # drop col 1
-    title_feats_sorted = np.zeros((n, N_TITLE))
     is_title = (b[order, 17] == _TYPE_INDEX["TITLE"]).astype(bool)
-    last = None
+    title_blocks_sorted = np.zeros((n, N_TITLE * titles_history))
+    recent: list[int] = []  # most-recent-first positions of titles seen
     for pos in range(n):
-        if last is not None:
-            title_feats_sorted[pos] = other_sorted[last][title_cols]
+        for d, tpos in enumerate(recent[:titles_history]):
+            title_blocks_sorted[pos, d * N_TITLE : (d + 1) * N_TITLE] = other_sorted[tpos][
+                title_cols
+            ]
         if is_title[pos]:
-            last = pos
+            recent.insert(0, pos)
+
+    blocks = [title_blocks_sorted]
+    if next_title:
+        next_title_sorted = np.zeros((n, N_TITLE))
+        nxt = None
+        for pos in range(n - 1, -1, -1):
+            if nxt is not None:
+                next_title_sorted[pos] = other_sorted[nxt][title_cols]
+            if is_title[pos]:
+                nxt = pos
+        blocks.append(next_title_sorted)
 
     inv = np.empty(n, dtype=np.int64)
     inv[order] = np.arange(n)
-    prev_f, next_f, title_f = prev_sorted[inv], next_sorted[inv], title_feats_sorted[inv]
+    prev_f, next_f = prev_sorted[inv], next_sorted[inv]
+    title_f = np.hstack(blocks)[inv]
 
-    freq = np.zeros((n, 3))
-    for k, w in enumerate((frequent_words or [])[:3]):
+    freq = np.zeros((n, n_freq))
+    for k, w in enumerate((frequent_words or [])[:n_freq]):
+        if not w:
+            continue
         wl = w.lower()
-        freq[:, k] = [1.0 if wl in (s.get("text") or "").lower() else 0.0 for s in segments]
+        for i, s in enumerate(segments):
+            text = (s.get("text") or "").lower()
+            if wl in text:
+                freq[i, k] = 1.0 / max(len(text.split(" ")), 1) if weight_by_len else 1.0
 
     return np.hstack([base, prev_f, next_f, title_f, freq])
 
 
-def learn_frequent_words(docs: list[list[dict]], k: int = 3) -> list[str]:
+def learn_frequent_words(docs: list[list[dict]], k: int = 3, avoiding: bool = False) -> list[str]:
     """Top-k stopword-filtered words of labeled segments
-    (LightgbmFrequentWords.save_most_frequent_words:100-112)."""
+    (LightgbmFrequentWords.save_most_frequent_words:100-112). With
+    avoiding=True, extends with the top-4 words of labeled segments'
+    NEIGHBORS that never appear in labeled text
+    (AvoidingWords.save_most_frequent_words:100-124)."""
     count: Counter[str] = Counter()
     for segments in docs:
         for s in segments:
@@ -250,26 +290,53 @@ def learn_frequent_words(docs: list[list[dict]], k: int = 3) -> list[str]:
                 for w in re.findall(r"\w+", (s.get("text") or "").lower()):
                     if w not in _STOPWORDS and w not in ".,":
                         count[w] += 1
-    return [w for w, _ in count.most_common(k)]
+    words = [w for w, _ in count.most_common(k)]
+    if avoiding:
+        avoid: Counter[str] = Counter()
+        for segments in docs:
+            for i, s in enumerate(segments):
+                if not s.get("ml_label"):
+                    continue
+                neighbor_text = " ".join(
+                    (segments[j].get("text") or "")
+                    for j in (i - 1, i + 1)
+                    if 0 <= j < len(segments)
+                )
+                for w in re.findall(r"\w+", neighbor_text.lower()):
+                    if w not in _STOPWORDS and w not in ".," and w not in count:
+                        avoid[w] += 1
+        words.extend(w for w, _ in avoid.most_common(4))
+    return words
 
 
 class FullSegmentSelector:
     """fit over per-document segment lists → artifact; select → labeled
-    subset. Backend: lightgbm when importable, else functions/gbm.py."""
+    subset. Backend: lightgbm when importable, else functions/gbm.py.
 
-    def fit(self, docs: list[list[dict]]) -> dict:
-        frequent = learn_frequent_words(docs)
-        mats = [doc_features(segs, frequent) for segs in docs if segs]
-        if not mats:
-            return {"frequent_words": frequent, "backend": "none"}
-        x = np.vstack(mats)
-        y = np.concatenate(
-            [[1.0 if s.get("ml_label") else 0.0 for s in segs] for segs in docs if segs]
+    Subclass knobs reproduce the reference's segment_selector/methods/*
+    feature-set variants (each a ~266-LoC near-clone there; here one
+    parameterization):
+      n_freq / weight_by_len / avoiding / next_title / titles_hist /
+      best_k (feature-subset refit, BestFeatures.create_model:66-67).
+    """
+
+    n_freq = 3
+    weight_by_len = False
+    avoiding = False
+    next_title = False
+    titles_hist = 1
+    best_k: int | None = None  # int = top-k refit; -1 = importance>0 refit
+
+    def _features(self, segments: list[dict], frequent: list[str]) -> np.ndarray:
+        return doc_features(
+            segments,
+            frequent,
+            weight_by_len=self.weight_by_len,
+            next_title=self.next_title,
+            titles_history=self.titles_hist,
         )
-        artifact: dict = {"frequent_words": frequent}
-        if y.sum() == 0:
-            artifact["backend"] = "none"
-            return artifact
+
+    def _fit_matrix(self, x: np.ndarray, y: np.ndarray, artifact: dict) -> None:
         try:  # pragma: no cover - lightgbm absent in this container
             import lightgbm as lgb
 
@@ -288,12 +355,43 @@ class FullSegmentSelector:
 
             artifact["backend"] = "gbm"
             artifact["model"] = fit_gbm(x, y, n_rounds=150, lr=0.1, max_depth=4)
+
+    def fit(self, docs: list[list[dict]]) -> dict:
+        frequent = learn_frequent_words(docs, k=self.n_freq, avoiding=self.avoiding)
+        mats = [self._features(segs, frequent) for segs in docs if segs]
+        if not mats:
+            return {"frequent_words": frequent, "backend": "none"}
+        x = np.vstack(mats)
+        y = np.concatenate(
+            [[1.0 if s.get("ml_label") else 0.0 for s in segs] for segs in docs if segs]
+        )
+        artifact: dict = {"frequent_words": frequent}
+        if y.sum() == 0:
+            artifact["backend"] = "none"
+            return artifact
+        self._fit_matrix(x, y, artifact)
+        if self.best_k is not None and artifact["backend"] == "gbm":
+            # BestFeatures pattern: keep informative features, refit
+            from ..functions.gbm import feature_importance
+
+            imp = feature_importance(artifact["model"], x.shape[1])
+            if self.best_k == -1:
+                keep = [i for i, v in enumerate(imp) if v > 0]
+            else:
+                keep = list(np.argsort(-np.asarray(imp), kind="stable")[: self.best_k])
+                keep = [int(i) for i in sorted(keep)]
+            if keep:
+                artifact["feature_subset"] = keep
+                self._fit_matrix(x[:, keep], y, artifact)
         return artifact
 
     def scores(self, segments: list[dict], artifact: dict) -> np.ndarray:
         if not segments:
             return np.zeros(0)
-        x = doc_features(segments, artifact.get("frequent_words") or [])
+        x = self._features(segments, artifact.get("frequent_words") or [])
+        subset = artifact.get("feature_subset")
+        if subset:
+            x = x[:, subset]
         backend = artifact.get("backend")
         if backend == "lightgbm":  # pragma: no cover
             import lightgbm as lgb
@@ -309,3 +407,65 @@ class FullSegmentSelector:
     def select(self, segments: list[dict], artifact: dict) -> list[dict]:
         s = self.scores(segments, artifact)
         return [seg for seg, sc in zip(segments, s) if sc > 0.5]
+
+
+# ------------------------------------------------------------------
+# reference feature-set variants (segment_selector/methods/*)
+# ------------------------------------------------------------------
+
+
+class SegmentSelectorFrequent6Words(FullSegmentSelector):
+    """frequent_6_words: top-6 frequent-word flags."""
+
+    n_freq = 6
+
+
+class SegmentSelectorCommonWordsWeights(FullSegmentSelector):
+    """common_words_weights: flags weighted 1/n_words of the segment."""
+
+    weight_by_len = True
+
+
+class SegmentSelectorAvoidingWords(FullSegmentSelector):
+    """avoiding_words: +4 neighbor-only word flags."""
+
+    avoiding = True
+
+
+class SegmentSelectorNextPreviousTitle(FullSegmentSelector):
+    """next_previous_title: previous AND next title blocks."""
+
+    next_title = True
+
+
+class SegmentSelectorTitlesHistory(FullSegmentSelector):
+    """titles_history: last three preceding title blocks."""
+
+    titles_hist = 3
+
+
+class SegmentSelectorBestFeatures(FullSegmentSelector):
+    """best_features: refit on features with positive split importance."""
+
+    best_k = -1
+
+
+class SegmentSelectorBestFeatures10(FullSegmentSelector):
+    best_k = 10
+
+
+class SegmentSelectorBestFeatures50(FullSegmentSelector):
+    best_k = 50
+
+
+SELECTOR_VARIANTS: dict[str, type[FullSegmentSelector]] = {
+    "lightgbm_frequent_words": FullSegmentSelector,
+    "frequent_6_words": SegmentSelectorFrequent6Words,
+    "common_words_weights": SegmentSelectorCommonWordsWeights,
+    "avoiding_words": SegmentSelectorAvoidingWords,
+    "next_previous_title": SegmentSelectorNextPreviousTitle,
+    "titles_history": SegmentSelectorTitlesHistory,
+    "best_features": SegmentSelectorBestFeatures,
+    "best_features_10": SegmentSelectorBestFeatures10,
+    "best_features_50": SegmentSelectorBestFeatures50,
+}

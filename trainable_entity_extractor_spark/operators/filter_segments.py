@@ -71,6 +71,36 @@ def filter_segments_py(
     return out
 
 
+def filter_segments_both_ends(
+    segments: list[dict],
+    budget_start: int = 600,
+    budget_end: int = 600,
+    clean_alpha: bool = True,
+    keep_digits: bool = True,
+    keep_dot: bool = True,
+    placeholder_on_empty: bool = True,
+) -> list[dict]:
+    """CleanBeginning600End600.filter_segments: a 600-char cleaned prefix,
+    then a 600-char cleaned suffix taken from the segments the prefix did
+    NOT consume (the reference marks consumed segments via ml_label and
+    excludes them from the end pass)."""
+    front = filter_segments_py(
+        segments, budget_start, clean_alpha=clean_alpha,
+        keep_digits=keep_digits, keep_dot=keep_dot,
+    )
+    rest = list(segments)[len(front):]
+    back = filter_segments_py(
+        rest, budget_end, from_end=True, clean_alpha=clean_alpha,
+        keep_digits=keep_digits, keep_dot=keep_dot,
+    )
+    out = front + back
+    if placeholder_on_empty and (
+        not out or "".join((s.get("text") or "").strip() for s in out) == ""
+    ):
+        return [{"seg_idx": 0, "page": 1, "text": "no text", "seg_type": "TEXT", "ml_label": 1}]
+    return out
+
+
 def filter_segments_grouped(
     segments: DataFrame,
     budget: int = 750,

@@ -641,10 +641,12 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents GROUP BY source ORDER BY source
         """,
         "ngram_jaccard_consecutive": """
+            -- Spark computes this over xxhash64-hashed shingles (8-byte
+            -- shuffle payload); Jaccard is hash-invariant, so the oracle
+            -- uses the raw shingle strings and values match.
             WITH sh AS (
                 SELECT doc_id,
-                       list_distinct([('0x' || substring(md5(
-                               array_to_string(words[i:i+2], '_')), 1, 15))::BIGINT
+                       list_distinct([array_to_string(words[i:i+2], '_')
                            for i in range(1, greatest(len(words) - 2, 1) + 1)]) AS s
                 FROM (SELECT doc_id,
                              list_filter(regexp_split_to_array(lower(text), '\\s+'),

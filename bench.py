@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-SCALE_PAGES = 200000
+SCALE_PAGES = 400000  # large enough that Spark's ~0.4s/job serial
+# scheduling floor (~20 jobs/run) stays under a few percent of the
+# narrow-width run — Amdahl housekeeping, not pipeline work
+EXTRACT_PAGES = int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES", "800000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
 # headline subset: one per operator family, heavier ones included on purpose
@@ -97,10 +100,14 @@ def pipeline_throughput(spark, n_pages: int, warmup: bool = True, seed: int = 42
     return n_pages / dt
 
 
-def extract_throughput(spark, n_pages: int, seed: int = 42) -> float:
+def extract_throughput(spark, n_pages: int, seed: int = 42, warmup: bool = True) -> float:
     """pages/sec of the map-dominant extraction stages only (segment →
     triples → signatures): the shape of >90% of the work at crawl scale,
-    and free of single-box shuffle/memory-bus artifacts."""
+    and free of single-box shuffle/memory-bus artifacts.
+
+    A warmup pass matters for the scaling ratio: Python-worker startup,
+    numpy import and first-touch buffer faults are a ~3s constant that
+    would otherwise be charged against the wider (shorter) run."""
     from pyspark.sql import functions as F
 
     from trainable_entity_extractor_spark.kg.linking import minhash_signatures
@@ -108,17 +115,21 @@ def extract_throughput(spark, n_pages: int, seed: int = 42) -> float:
     from trainable_entity_extractor_spark.pipeline import default_options
     from trainable_entity_extractor_spark.sources.segmentation import pages_to_segments
 
-    path = ensure_pages_parquet(spark, n_pages, seed)
-    pages = spark.read.parquet(path)
-    t0 = time.time()
-    segments = pages_to_segments(pages)
-    triples = extract_triples(segments, default_options(spark), "p")
-    mentions = triples.select(
-        F.concat_ws("#", "subj", "obj_id").alias("mention_id"),
-        F.concat_ws(" ", "obj_label", "obj_text").alias("mention"),
-    )
-    minhash_signatures(mentions).count()
-    return n_pages / (time.time() - t0)
+    def run(path, n):
+        pages = spark.read.parquet(path)
+        t0 = time.time()
+        segments = pages_to_segments(pages)
+        triples = extract_triples(segments, default_options(spark), "p")
+        mentions = triples.select(
+            F.concat_ws("#", "subj", "obj_id").alias("mention_id"),
+            F.concat_ws(" ", "obj_label", "obj_text").alias("mention"),
+        )
+        minhash_signatures(mentions).count()
+        return n / (time.time() - t0)
+
+    if warmup:
+        run(ensure_pages_parquet(spark, 2000, seed=1), 2000)
+    return run(ensure_pages_parquet(spark, n_pages, seed), n_pages)
 
 
 def main():
@@ -150,19 +161,37 @@ def main():
                 s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
                 pps = pipeline_throughput(s, n_scale, warmup=True)
                 samples[cores].append(round(pps, 1))
-                extract_samples[cores].append(round(extract_throughput(s, n_scale), 1))
+                extract_samples[cores].append(
+                    round(extract_throughput(s, EXTRACT_PAGES, warmup=True), 1)
+                )
                 s.stop()
+        # median across trials is the headline number (best-of overstates
+        # on a VM with 3x CPU-steal noise; the max is kept for reference)
+        from statistics import median
+
         scaling["local[1]_trials"] = samples[1]
         scaling["local[4]_trials"] = samples[4]
-        scaling["local[1]"] = max(samples[1])
-        scaling["local[4]"] = max(samples[4])
+        scaling["local[1]"] = round(median(samples[1]), 1)
+        scaling["local[4]"] = round(median(samples[4]), 1)
+        scaling["local[1]_best"] = max(samples[1])
+        scaling["local[4]_best"] = max(samples[4])
         scaling["scale_pages"] = n_scale
         scaling["efficiency_1_to_4"] = round(scaling["local[4]"] / (scaling["local[1]"] * 4), 3)
-        scaling["extract_local[1]"] = max(extract_samples[1])
-        scaling["extract_local[4]"] = max(extract_samples[4])
+        scaling["extract_local[1]"] = round(median(extract_samples[1]), 1)
+        scaling["extract_local[4]"] = round(median(extract_samples[4]), 1)
+        scaling["extract_pages"] = EXTRACT_PAGES
         scaling["extract_efficiency_1_to_4"] = round(
             scaling["extract_local[4]"] / (scaling["extract_local[1]"] * 4), 3
         )
+        # per-trial paired ratios: each pairing ran back-to-back under the
+        # same VM conditions, so these bound the noise on the medians
+        scaling["efficiency_trials"] = [
+            round(s4 / (s1 * 4), 3) for s1, s4 in zip(samples[1], samples[4])
+        ]
+        scaling["extract_efficiency_trials"] = [
+            round(s4 / (s1 * 4), 3)
+            for s1, s4 in zip(extract_samples[1], extract_samples[4])
+        ]
 
     result = {
         "metric": "kg_pipeline_and_headline_queries",

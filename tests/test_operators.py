@@ -90,6 +90,36 @@ def test_ann_topk_recalls_bucket_neighbors(spark):
     assert len(set(exact) & set(approx)) >= 1
 
 
+def test_ann_multiprobe_beats_single_probe_recall(spark):
+    """Multi-probe + multi-table must recover neighbors that single-probe
+    drops at bucket boundaries, approaching exact recall on a small set."""
+    import random
+
+    from trainable_entity_extractor_spark.operators.similarity import ann_topk_multiprobe
+
+    random.seed(11)
+    dim = 8
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(400)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    single_recall = 0
+    multi_recall = 0
+    queries = [rows[i][1] for i in (3, 50, 120)]
+    for q in queries:
+        exact = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+        single = {r["vec_id"] for r in ann_topk(e, q, dim=dim, k=10, bits=6).collect()}
+        multi = {
+            r["vec_id"]
+            for r in ann_topk_multiprobe(
+                e, q, dim=dim, k=10, bits=6, n_tables=2, probe_bits=1
+            ).collect()
+        }
+        single_recall += len(exact & single)
+        multi_recall += len(exact & multi)
+    assert multi_recall >= single_recall
+    assert multi_recall >= 0.8 * 10 * len(queries), (single_recall, multi_recall)
+
+
 def test_lang_id_and_quality(spark):
     d = docs_df(
         spark,

@@ -62,18 +62,19 @@ def connected_components(
     it, hash-min label propagation — every vertex repeatedly adopts the
     min label among itself and its neighbors until fixpoint.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # checkpoint the EDGES before building the symmetric view: `sym` scans
+    # the edge set twice (u→v and v→u), and without materialization each
+    # scan would re-evaluate the whole upstream linking stage inside the
+    # same job. One linking evaluation, one stored (small) edge set.
+    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    # size-adaptive parallelism: tiny graphs shouldn't pay wide-shuffle
-    # scheduling overhead; large graphs keep the session's shuffle width.
-    # The loop's own shuffles are pinned to this width for its duration.
-    n_edges = sym.count()
     spark = edges.sparkSession
+    n_edges = 2 * edges.count()  # near-free: counts the stored checkpoint
     if n_edges <= driver_threshold:
-        pdf = sym.toPandas()  # Arrow transfer — far cheaper than row collect
+        pdf = edges.toPandas()  # Arrow transfer — far cheaper than row collect
         pairs = list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
         return _driver_union_find(spark, pairs)
 

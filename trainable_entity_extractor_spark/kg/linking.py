@@ -61,6 +61,22 @@ def _perm_coeffs(n_perms: int, seed: int = 42):
     return a, b
 
 
+_KERNEL_BUFS: dict = {}
+
+
+def _kernel_buf(name: str, size: int):
+    """Worker-lifetime int64 scratch buffer (grown geometrically). NEVER
+    returned to callers — only `out` rows leave the kernel, and those are
+    freshly allocated per batch."""
+    import numpy as np
+
+    arr = _KERNEL_BUFS.get(name)
+    if arr is None or arr.size < size:
+        cap = 1 << max(int(size - 1).bit_length(), 10)
+        _KERNEL_BUFS[name] = arr = np.empty(cap, dtype=np.int64)
+    return arr[:size]
+
+
 def _minhash_kernel(texts, n_perms: int, k: int, max_chars: int):
     """Batch-vectorized MinHash: char k-gram codes → min((a*x+b) mod p).
 
@@ -79,38 +95,74 @@ def _minhash_kernel(texts, n_perms: int, k: int, max_chars: int):
     # and signed min is an equally valid fixed total order for min-wise
     # selection (the scorer compares slot equality only).
     to_i64 = lambda xs: np.array([x - (1 << 64) if x >= (1 << 63) else x for x in xs], dtype=np.int64)
-    a = to_i64(a).reshape(-1, 1)
-    b = to_i64(b).reshape(-1, 1)
+    a = to_i64(a)
+    b = to_i64(b)
 
-    grams_per_row: list = []
+    # Per-row Python is ONLY string normalization + encode (~3us/row);
+    # every numpy op below runs over the whole batch at once. The previous
+    # kernel built ~5 small arrays per row — at 186us/row of allocator
+    # overhead that was 50x the actual hash math.
+    enc: list[bytes] = []
     for t in texts:
         norm = " ".join((t or "").lower().split())[:max_chars]
         if len(norm) < k:
             norm = norm + "\x00" * (k - len(norm))
-        codes = np.frombuffer(norm.encode("utf-8", "replace"), dtype=np.uint8).astype(np.int64)
-        # polynomial k-gram codes via strided sum (< 257^k, keep k<=3)
-        gram = np.zeros(len(codes) - k + 1, dtype=np.int64)
-        for j in range(k):
-            gram = gram * np.int64(257) + codes[j : len(codes) - k + 1 + j]
-        grams_per_row.append(gram)
-
-    if not grams_per_row:
+        enc.append(norm.encode("utf-8", "replace"))
+    if not enc:
         return []
-    lengths = np.array([len(g) for g in grams_per_row])
-    offsets = np.zeros(len(lengths), dtype=np.int64)
-    np.cumsum(lengths[:-1], out=offsets[1:])
-    flat = np.concatenate(grams_per_row)
-    # per-perm loop with preallocated buffers: a single (n_perms, G)
-    # broadcast would allocate hundreds of MB of temporaries per batch —
-    # fresh page faults dominate in VM environments. This keeps the
-    # working set at one G-sized buffer.
-    tmp = np.empty_like(flat)
-    out = np.empty((len(lengths), len(a)), dtype=np.int64)
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    total = int(lens.sum())
+    joined = b"".join(enc) + b"\x00" * (k - 1)
+    # worker-lifetime buffer pool: first-touch page faults on this VM cost
+    # ~50x the arithmetic (1.35s vs 26ms for the same gram pass), and a
+    # fresh allocation per Arrow batch pays them every time. Python
+    # workers are reused across tasks, so buffers fault once per worker.
+    codes = _kernel_buf("codes", total + k - 1)
+    codes[:] = np.frombuffer(joined, dtype=np.uint8)
+    # polynomial k-gram codes over the WHOLE buffer (k in-place vector
+    # ops); grams that span a row boundary land in per-row "invalid" tail
+    # ranges that the interleaved reduceat below discards.
+    gram = _kernel_buf("gram", total)
+    gram[:] = codes[:total]
     with np.errstate(over="ignore"):
-        for i in range(len(a)):
-            np.multiply(flat, a[i, 0], out=tmp)
-            np.add(tmp, b[i, 0], out=tmp)
-            out[:, i] = np.minimum.reduceat(tmp, offsets)
+        for j in range(1, k):
+            np.multiply(gram, np.int64(257), out=gram)
+            np.add(gram, codes[j : total + j], out=gram)
+
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    valid_end = starts + lens - (k - 1)  # exclusive end of in-row grams
+    n_rows = len(lens)
+    out = np.empty((n_rows, n_perms), dtype=np.int64)
+
+    # Cache-blocked: row-chunks whose gram count fits in L2 (~256 KB),
+    # running ALL permutations per chunk before moving on. A per-perm
+    # full-batch sweep re-reads the gram buffer from DRAM n_perms times —
+    # on a shared memory bus that serializes executor threads (round-1
+    # measured 0.58 scaling efficiency on this map stage).
+    CHUNK = 1 << 15
+    tmp = _kernel_buf("tmp", min(total, CHUNK + int(lens.max(initial=0))))
+    with np.errstate(over="ignore"):
+        row = 0
+        while row < n_rows:
+            end, cnt = row, 0
+            while end < n_rows and (cnt == 0 or cnt + lens[end] <= CHUNK):
+                cnt += int(lens[end])
+                end += 1
+            base = starts[row]
+            upper = int(starts[end]) if end < n_rows else total
+            chunk = gram[base:upper]
+            # interleaved (valid_start, valid_end) ranges; odd slots cover
+            # the cross-boundary grams and are discarded
+            off = np.empty(2 * (end - row), dtype=np.int64)
+            off[0::2] = starts[row:end] - base
+            off[1::2] = valid_end[row:end] - base
+            t_buf = tmp[: len(chunk)]
+            for i in range(n_perms):
+                np.multiply(chunk, a[i], out=t_buf)
+                np.add(t_buf, b[i], out=t_buf)
+                out[row:end, i] = np.minimum.reduceat(t_buf, off)[0::2]
+            row = end
     return list(out)
 
 
@@ -174,9 +226,16 @@ def lsh_candidate_pairs(
     members = blocks.select("block_id", F.explode("ids").alias("m"))
     left = members.select("block_id", F.col("m").alias("a"))
     right = members.select("block_id", F.col("m").alias("b"))
-    # NOTE: a pair appearing in several bands is emitted once per band —
-    # dedup happens after the (selective) score filter, where it is cheap.
-    return left.join(right, "block_id").filter(F.col("a") < F.col("b")).select("a", "b")
+    # distinct BEFORE scoring: a pair appearing in several bands would
+    # otherwise flow through the two signature joins once per band —
+    # deduping 16-byte (a,b) rows costs one cheap shuffle and shrinks the
+    # scoring joins by the duplication factor (bands-1 in the worst case).
+    return (
+        left.join(right, "block_id")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def score_pairs(
@@ -295,6 +354,156 @@ def link_mentions_portable(
     )
 
 
+def score_blocks(
+    sigs: DataFrame,
+    threshold: float,
+    n_perms: int = DEFAULT_PERMS,
+    bands: int = DEFAULT_BANDS,
+    block_cap: int = 64,
+) -> DataFrame:
+    """Fused banding + in-block pair scoring.
+
+    Semantically identical to lsh_candidate_pairs → score_pairs, but the
+    pairwise signature-agreement scores are computed INSIDE each block row
+    (whose collect_list already holds every member's signature) by a
+    vectorized numpy kernel — so the quadratic pair set never exists as a
+    DataFrame. On duplication-heavy corpora pairs outnumber mentions
+    ~30:1 at cap 64; materializing them and joining the signature table
+    twice was >80% of pipeline wall-time at 400k pages. Cost now: ONE
+    groupBy shuffle carrying signatures, then a map stage.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows_per_band = n_perms // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    F.concat_ws(
+                        ",",
+                        *[F.element_at("sig", b * rows_per_band + i + 1) for i in range(rows_per_band)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # FLAT columnar layout: the signature travels as n_perms long columns,
+    # not an array<struct> collect_list. Nested collect_list blocks cost
+    # ~50s/400k-pages in Arrow struct materialization alone; flat columns
+    # convert to a numpy matrix in microseconds.
+    sig_cols = [F.element_at("sig", i + 1).alias(f"s{i}") for i in range(n_perms)]
+    banded = sigs.select("mention_id", "sig", F.explode(band_structs).alias("bk")).select(
+        "mention_id",
+        *sig_cols,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    # one hash shuffle co-locates each block; an in-partition sort makes
+    # blocks contiguous so the scorer streams them without any grouping agg
+    spark = sigs.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    arranged = banded.repartition(width, "band", "key").sortWithinPartitions("band", "key")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    npf = float(n_perms)
+
+    def _score(batches):
+        import numpy as np
+
+        triu_cache: dict[int, tuple] = {}
+        scol = [f"s{i}" for i in range(n_perms)]
+
+        def emit(pdf):
+            if len(pdf) == 0:
+                return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            band = pdf["band"].to_numpy()
+            key = pdf["key"].to_numpy()
+            change = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1])) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(pdf)]])
+            sig_mat = pdf[scol].to_numpy(dtype=np.int64)
+            sizes = ends - starts
+            pair_total = int((sizes * (sizes - 1) // 2).clip(min=0).sum())
+            i_out = np.empty(pair_total, dtype=np.int64)
+            j_out = np.empty(pair_total, dtype=np.int64)
+            pos = 0
+            for st, s in zip(starts, sizes):
+                if s < 2 or s > block_cap:  # cap = hot-key/skew guard
+                    continue
+                cached = triu_cache.get(s)
+                if cached is None:
+                    cached = triu_cache[s] = np.triu_indices(int(s), k=1)
+                iu, ju = cached
+                c = len(iu)
+                i_out[pos : pos + c] = iu + st
+                j_out[pos : pos + c] = ju + st
+                pos += c
+            i_out, j_out = i_out[:pos], j_out[:pos]
+            if pos == 0:
+                return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            agree = (sig_mat[i_out] == sig_mat[j_out]).sum(axis=1) / npf
+            ok = agree >= threshold
+            ids = pdf["mention_id"].to_numpy()
+            a_s = pd.Series(ids[i_out[ok]], dtype=object)
+            b_s = pd.Series(ids[j_out[ok]], dtype=object)
+            swap = a_s > b_s
+            return pd.DataFrame(
+                {
+                    "a": a_s.where(~swap, b_s),
+                    "b": b_s.where(~swap, a_s),
+                    "jaccard": agree[ok],
+                }
+            )
+
+        # blocks are contiguous within the sorted partition but may span
+        # Arrow batch boundaries — carry the trailing block over. A block
+        # larger than the cap is dropped as soon as it exceeds it (skew
+        # guard), so the carry buffer never grows past block_cap rows even
+        # for a mega-block of a hot surface form.
+        carry = None
+        skip_key = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if skip_key is not None:
+                band0 = pdf["band"].to_numpy()
+                key0 = pdf["key"].to_numpy()
+                keep = ~((band0 == skip_key[0]) & (key0 == skip_key[1]))
+                first_keep = int(np.argmax(keep)) if keep.any() else len(pdf)
+                if first_keep == len(pdf):
+                    continue  # whole batch is still the oversized block
+                pdf = pdf.iloc[first_keep:]
+                skip_key = None
+            pdf = pdf if carry is None else pd.concat([carry, pdf], ignore_index=True)
+            band = pdf["band"].to_numpy()
+            key = pdf["key"].to_numpy()
+            change = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1])) + 1
+            last_start = int(change[-1]) if len(change) else 0
+            carry = pdf.iloc[last_start:]
+            if len(carry) > block_cap:
+                skip_key = (band[last_start], key[last_start])
+                carry = None
+            head = pdf.iloc[:last_start]
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    edges = arranged.mapInPandas(_score, schema=out_schema)
+    # a pair can surface in several bands with the same score — dedup the
+    # (small, post-threshold) edge set
+    return edges.distinct()
+
+
 def link_mentions(
     mentions: DataFrame,
     id_col: str = "mention_id",
@@ -306,9 +515,8 @@ def link_mentions(
 ) -> DataFrame:
     """Full Stage D: mentions → similarity edges (a, b, jaccard).
 
-    Signatures are localCheckpointed: the banding self-join and the pair
-    scorer consume them 4x — without materialization the Python MinHash
-    stage would re-run per consumer."""
+    Signatures are localCheckpointed (the banding consumes the Python
+    MinHash stage once, but without materialization Catalyst would re-run
+    it for any second consumer of the returned edges)."""
     sigs = minhash_signatures(mentions, id_col, text_col, n_perms).localCheckpoint(eager=False)
-    pairs = lsh_candidate_pairs(sigs, n_perms, bands, block_cap)
-    return score_pairs(pairs, sigs, threshold, n_perms)
+    return score_blocks(sigs, threshold, n_perms, bands, block_cap)

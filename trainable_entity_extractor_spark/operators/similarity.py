@@ -113,3 +113,57 @@ def ann_topk(
             qsig += 1 << i
     bucketed = lsh_bucket_ids(embeddings, dim, bits, seed, vec_col)
     return cosine_topk(bucketed.filter(F.col("lsh_bucket") == qsig), query_vec, k, id_col, vec_col)
+
+
+def ann_topk_multiprobe(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    n_tables: int = 2,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-controlled ANN: `n_tables` independent hyperplane tables,
+    each probed at the query's bucket plus every bucket within Hamming
+    distance `probe_bits` (bit flips of near-zero margins are the usual
+    recall killer of single-probe sign-LSH).
+
+    Scale shape: the candidate filter is a native `isin` over int bucket
+    columns — one scan, no shuffle, no Python; candidate count ≈
+    n · n_tables · (1 + bits·probe_bits) / 2^bits, so recall is bought
+    with a linear-in-tables scan budget, never an all-pairs join.
+    """
+    bucketed = embeddings
+    probe_sets: list[tuple[str, list[int]]] = []
+    for t in range(n_tables):
+        tseed = seed + 7919 * t
+        planes = _planes(dim, bits, tseed)
+        qsig = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(query_vec, p)) > 0:
+                qsig += 1 << i
+        probes = {qsig}
+        if probe_bits >= 1:
+            probes |= {qsig ^ (1 << i) for i in range(bits)}
+        if probe_bits >= 2:
+            probes |= {
+                qsig ^ (1 << i) ^ (1 << j)
+                for i in range(bits)
+                for j in range(i + 1, bits)
+            }
+        col = f"lsh_bucket_t{t}"
+        bucketed = lsh_bucket_ids(bucketed, dim, bits, tseed, vec_col).withColumnRenamed(
+            "lsh_bucket", col
+        )
+        probe_sets.append((col, sorted(probes)))
+
+    cond = None
+    for col, probes in probe_sets:
+        c = F.col(col).isin(probes)
+        cond = c if cond is None else (cond | c)
+    candidates = bucketed.filter(cond).drop(*[c for c, _ in probe_sets])
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

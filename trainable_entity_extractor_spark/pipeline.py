@@ -51,7 +51,10 @@ def run_pipeline(
         F.concat_ws(" ", "obj_label", "obj_text").alias("mention"),
     )
 
-    edges = link_mentions(mentions, threshold=link_threshold)
+    # lazy checkpoint: canonicalization's internal materialization fills
+    # it, and any later consumer of out["edges"] reuses the stored set
+    # instead of re-running the linking stage
+    edges = link_mentions(mentions, threshold=link_threshold).localCheckpoint(eager=False)
     entities = canonical_entities(mentions, edges)
 
     out = {"segments": segments, "triples": triples, "edges": edges, "entities": entities}

@@ -427,6 +427,50 @@ def q_char_budget_prefix(spark, sf_dir):
     )
 
 
+def q_simhash_buckets(spark, sf_dir):
+    """dedup: SimHash-16 duplicate buckets (operators/dedup.simhash64 —
+    md5-nibble bit votes, bit-identical in DuckDB)."""
+    from trainable_entity_extractor_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        simhash64(d)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+def q_char_budget_both_ends(spark, sf_dir):
+    """F9 CleanBeginning600End600 shape on documents: per lang, docs in
+    the doc_id-ordered 2500-char prefix budget OR the 2500-char suffix
+    budget (suffix pass excludes prefix-taken docs, like the reference's
+    ml_label exclusion)."""
+    d = _t(spark, sf_dir, "documents")
+    w_fwd = Window.partitionBy("lang").orderBy("doc_id")
+    w_rev = Window.partitionBy("lang").orderBy(F.col("doc_id").desc())
+    flagged = (
+        d.withColumn("cum_fwd", F.sum("n_chars").over(w_fwd))
+        .withColumn("front", F.col("cum_fwd") <= 2500)
+        .withColumn(
+            "cum_rev",
+            F.sum(F.when(F.col("front"), 0).otherwise(F.col("n_chars"))).over(w_rev),
+        )
+        .withColumn("back", ~F.col("front") & (F.col("cum_rev") <= 2500))
+    )
+    return (
+        flagged.filter(F.col("front") | F.col("back"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("front").cast("int")).alias("n_front"),
+            F.sum(F.col("back").cast("int")).alias("n_back"),
+            F.sum("n_chars").alias("chars_used"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -456,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_linking": q_minhash_lsh_linking,
         "connected_components": q_connected_components,
         "char_budget_prefix": q_char_budget_prefix,
+        "simhash_buckets": q_simhash_buckets,
+        "char_budget_both_ends": q_char_budget_both_ends,
     }
 
 
@@ -727,6 +773,44 @@ def _oracle_sql_base() -> dict[str, str]:
                    (sa.mh4 = sb.mh4)::INT + (sa.mh5 = sb.mh5)::INT +
                    (sa.mh6 = sb.mh6)::INT + (sa.mh7 = sb.mh7)::INT) / 8.0 >= 0.75
             ORDER BY a, b
+        """,
+        "simhash_buckets": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                          w -> w <> '')) AS w
+                FROM documents
+            ), votes AS (
+                SELECT doc_id, b.b AS bit,
+                       sum((((('0x' || substring(md5(w), b.b // 4 + 1, 1))::INT
+                              >> (b.b % 4)) & 1) * 2 - 1)) AS vote
+                FROM words, (SELECT unnest(range(16)) AS b) b
+                GROUP BY doc_id, b.b
+            ), sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                           AS simhash
+                FROM votes GROUP BY doc_id)
+            SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM sig GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
+        """,
+        "char_budget_both_ends": """
+            WITH f1 AS (
+                SELECT lang, doc_id, n_chars,
+                       sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum_fwd
+                FROM documents
+            ), f2 AS (
+                SELECT *, (cum_fwd <= 2500) AS front FROM f1
+            ), f3 AS (
+                SELECT *, sum(CASE WHEN front THEN 0 ELSE n_chars END)
+                              OVER (PARTITION BY lang ORDER BY doc_id DESC) AS cum_rev
+                FROM f2
+            ), f4 AS (
+                SELECT *, (NOT front AND cum_rev <= 2500) AS back FROM f3)
+            SELECT lang, sum(front::INT)::BIGINT AS n_front,
+                   sum(back::INT)::BIGINT AS n_back,
+                   sum(n_chars)::BIGINT AS chars_used
+            FROM f4 WHERE front OR back GROUP BY lang ORDER BY lang
         """,
         "connected_components": """
             WITH RECURSIVE

@@ -139,4 +139,6 @@ def test_method_list_matches_reference_order():
         "FastSegmentSelectorFuzzy95",
         "FastSegmentSelectorFuzzyCommas",
         "FuzzySegmentSelector",
+        "CleanBeginningDotDigits500TextFastTextMethod",
+        "CleanEndDotDigits1000TextFastTextMethod",
     ]

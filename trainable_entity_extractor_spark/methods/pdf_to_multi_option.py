@@ -630,9 +630,62 @@ class FuzzySegmentSelector(_FuzzyBase):
         return pd.Series(out, index=pdf.index, dtype=object)
 
 
+def build_filter_text_method(
+    inner_cls: type[MethodBase], filter_name: str, budget: int, from_end: bool
+) -> type[MethodBase]:
+    """PdfMultiOptionMethod.set_methods(filter, text_method) analog
+    (PdfToMultiOptionExtractor.py:116-117): a filter-segments budget
+    stage feeds a text-level multi-option method."""
+    from ..operators.filter_segments import filter_segments_py
+
+    def _to_text(row) -> str:
+        segs = [dict(s) if not isinstance(s, dict) else s for s in (row.get("segments") or [])]
+        kept = filter_segments_py(
+            segs, budget, from_end=from_end, clean_alpha=True, keep_digits=True,
+            keep_dot=True, placeholder_on_empty=True,
+        )
+        return " ".join(s.get("text") or "" for s in kept)
+
+    class _Composed(MethodBase):
+        kind = "multi_option"
+
+        def can_be_used(self, train_pdf, ctx):
+            return inner_cls().can_be_used(train_pdf, ctx)
+
+        def _transform(self, pdf):
+            out = pdf.copy()
+            out["source_text"] = [_to_text(row) for _, row in pdf.iterrows()]
+            out["segments"] = None
+            return out
+
+        def fit(self, train_pdf, ctx):
+            return inner_cls().fit(self._transform(train_pdf), ctx)
+
+        def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+            return inner_cls().predict_pandas(self._transform(pdf), ctx, artifact)
+
+    _Composed.__name__ = f"{filter_name}{inner_cls.__name__}"
+    _Composed.__qualname__ = _Composed.__name__
+    return _Composed
+
+
+def _fasttext_composites() -> list[type[MethodBase]]:
+    from .fasttext_like import TextFastTextMethod
+
+    return [
+        build_filter_text_method(
+            TextFastTextMethod, "CleanBeginningDotDigits500", 500, from_end=False
+        ),
+        build_filter_text_method(
+            TextFastTextMethod, "CleanEndDotDigits1000", 1000, from_end=True
+        ),
+    ]
+
+
 PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     # reference order (PdfToMultiOptionExtractor.py:102-132), external
-    # models (SetFit/Ollama/Gemini composites) excluded
+    # models (SetFit/Ollama/Gemini composites) excluded; the FastText
+    # composites use the from-scratch numpy classifier (fasttext_like.py)
     FuzzyFirst,
     FuzzyLast,
     FuzzyFirstCleanLabel,
@@ -646,4 +699,5 @@ PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FastSegmentSelectorFuzzy95,
     FastSegmentSelectorFuzzyCommas,
     FuzzySegmentSelector,
+    *_fasttext_composites(),
 ]

@@ -150,7 +150,10 @@ def main():
         # runs, so each level runs `trials` times; all samples are reported
         # and the per-level best (= least-throttled conditions) is used.
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", str(SCALE_PAGES)))
-        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "1"))
+        # 3 trials by default — a single paired ratio on this VM swings
+        # 0.57-1.02 with CPU steal; the budget guard below stops extra
+        # trials if the run would blow the bench budget
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
         budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "500"))
         samples: dict[int, list[float]] = {1: [], 4: []}
         extract_samples: dict[int, list[float]] = {1: [], 4: []}

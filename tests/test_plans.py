@@ -54,3 +54,33 @@ def test_whole_stage_codegen_on_native_path(spark):
     df.collect()  # AQE shows codegen only in the final plan
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     assert "*(" in _plan(df)
+
+
+def test_linking_plan_has_no_pair_join(spark):
+    """The LSH scorer must be the fused sort-based form: one exchange on
+    the band key feeding mapInPandas — no SortMergeJoin/ShuffledHashJoin
+    of a materialized pair set against the signature table."""
+    from trainable_entity_extractor_spark.kg.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [(f"m{i}", f"text body number {i % 7} with shared words") for i in range(50)],
+        "mention_id string, mention string",
+    )
+    plan = _plan(link_mentions(mentions, threshold=0.5))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 3  # band shuffle + distinct (+AQE read)
+
+
+def test_adjacent_duplicates_has_no_global_window(spark):
+    """Regression: the round-1 plan used Window.orderBy with no partition
+    (single-task sort). The join form must not contain a window at all."""
+    plan = _plan(entrymod.q_adjacent_duplicates(spark, SF))
+    assert "Window" not in plan
+
+
+def test_ngram_jaccard_shuffles_hashed_longs(spark):
+    """The shingle payload entering the join must be array<bigint>
+    (xxhash64-hashed), not the raw shingle strings."""
+    opt = _optimized(entrymod.q_ngram_jaccard_consecutive(spark, SF))
+    assert "xxhash64" in opt

@@ -120,6 +120,44 @@ def test_ann_multiprobe_beats_single_probe_recall(spark):
     assert multi_recall >= 0.8 * 10 * len(queries), (single_recall, multi_recall)
 
 
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF with a deterministic k-means quantizer: on clustered data the
+    nprobe=2 search must recover nearly all exact neighbors while
+    scanning a fraction of the table."""
+    import random
+
+    from trainable_entity_extractor_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    random.seed(5)
+    dim, per_cluster = 8, 60
+    centers = [[random.uniform(-1, 1) for _ in range(dim)] for _ in range(5)]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((i, [x + random.uniform(-0.15, 0.15) for x in c]))
+            i += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = fit_ivf_centroids(e, n_centroids=5, iters=8)
+    assert len(cents) == 5
+    # assignment is total and balanced-ish
+    cell_counts = {r["ivf_cell"]: r["n"] for r in ivf_assign(e, cents).groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(cell_counts.values()) == len(rows)
+
+    q = rows[10][1]
+    exact = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(e, q, cents, k=10, nprobe=2).collect()}
+    assert len(exact & approx) >= 8
+
+    # determinism: refit gives identical centroids
+    assert fit_ivf_centroids(e, n_centroids=5, iters=8) == cents
+
+
 def test_lang_id_and_quality(spark):
     d = docs_df(
         spark,

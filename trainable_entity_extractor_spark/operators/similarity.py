@@ -115,6 +115,107 @@ def ann_topk(
     return cosine_topk(bucketed.filter(F.col("lsh_bucket") == qsig), query_vec, k, id_col, vec_col)
 
 
+def fit_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample: int = 10_000,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Deterministic k-means coarse quantizer for IVF (driver-fit over a
+    bounded sample, like every other trainable artifact in this engine).
+
+    Returns a list[list[float]] of centroids (JSON-able artifact).
+    Deterministic: fixed iteration count, seedless farthest-point-style
+    init from a limit(sample) scan (stable input order), ties broken by
+    lowest index.
+    """
+    import numpy as np
+
+    rows = embeddings.select(vec_col).limit(sample).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        return []
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms
+    k = min(n_centroids, len(xn))
+    # k-means++-style init without RNG: start at vector 0, then repeatedly
+    # take the point farthest from its nearest chosen centroid
+    chosen = [0]
+    d = 1.0 - xn @ xn[0]
+    for _ in range(1, k):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - xn @ xn[nxt])
+    cents = xn[chosen].copy()
+    for _ in range(iters):
+        assign = np.argmax(xn @ cents.T, axis=1)  # cosine on normalized
+        for c in range(k):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [c.tolist() for c in cents]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append the nearest-centroid id (`ivf_cell`) per row — the IVF
+    partition key. Arrow-batched matmul (one GEMM per batch, no per-row
+    Python); at crawl scale this column becomes the table's bucketing
+    key so each query probes a few files."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([list(v) for v in vecs], dtype=np.float64)
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((x / norms) @ cents.T, axis=1).astype("int32"))
+
+    _assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_assign, T.IntegerType())
+    return embeddings.withColumn("ivf_cell", udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: brute-force cosine restricted to the `nprobe` cells
+    whose centroids are nearest the query. The scan predicate is a native
+    `isin` over the int cell column — partition-prunable when the table
+    is written bucketed/partitioned by ivf_cell."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(cents @ qn), kind="stable")[: max(nprobe, 1)]
+    cells = [int(c) for c in order]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    return cosine_topk(
+        assigned.filter(F.col("ivf_cell").isin(cells)), query_vec, k, id_col, vec_col
+    )
+
+
 def ann_topk_multiprobe(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -165,6 +165,22 @@ def test_materialize_manifest_and_replay(spark, tmp_path):
     write_partitioned(segments, path, "url", n_buckets=8, buckets=bad)
     assert all(v for v in verify_manifest(spark, path).values())
 
+    # snapshot lineage: first commit touched all 8 buckets, the replay
+    # commit only the 2 corrupted ones, with a parent pointer; replayed
+    # content fingerprints equal the originals (idempotence in lineage)
+    from trainable_entity_extractor_spark.kg.materialize import lineage_df
+
+    lin = lineage_df(spark, path)
+    snaps = {r["snapshot"]: r for r in lin.groupBy("snapshot").count().collect()}
+    assert snaps[1]["count"] == 8 and snaps[2]["count"] == 2
+    rows = lin.collect()
+    assert {r["bucket"] for r in rows if r["snapshot"] == 2} == {2, 5}
+    assert all(r["parent"] == 1 for r in rows if r["snapshot"] == 2)
+    assert all(r["operation"] == "replay" for r in rows if r["snapshot"] == 2)
+    sums1 = {r["bucket"]: r["content_sum"] for r in rows if r["snapshot"] == 1}
+    sums2 = {r["bucket"]: r["content_sum"] for r in rows if r["snapshot"] == 2}
+    assert all(sums2[b] == sums1[b] for b in (2, 5))
+
 
 def test_full_pipeline_smoke(spark, tmp_path):
     pages = synth_pages(spark, 150, seed=42)

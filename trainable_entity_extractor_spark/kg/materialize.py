@@ -71,15 +71,46 @@ def write_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     manifest_path = Path(path) / "_manifest.json"
-    manifest = {"table": path, "key": key, "n_buckets": n_buckets, "partitions": {}}
+    manifest = {
+        "table": path,
+        "key": key,
+        "n_buckets": n_buckets,
+        "partitions": {},
+        "snapshots": [],
+        "current_snapshot": None,
+    }
     if manifest_path.exists():
         manifest = json.loads(manifest_path.read_text())
+        manifest.setdefault("snapshots", [])
+        manifest.setdefault("current_snapshot", None)
+    written_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     for b, r in stats.items():
         manifest["partitions"][str(b)] = {
             "rows": int(r["rows"]),
             "content_sum": str(r["content_sum"]) if r["content_sum"] is not None else "0",
-            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "written_at": written_at,
         }
+    # snapshot lineage record (Iceberg-snapshot analog): which buckets
+    # this commit touched, their content fingerprints, and the parent
+    # snapshot — the queryable per-partition lineage the replay planner
+    # and audits read (see lineage_df)
+    snapshot_id = len(manifest["snapshots"]) + 1
+    manifest["snapshots"].append(
+        {
+            "id": snapshot_id,
+            "parent": manifest["current_snapshot"],
+            "written_at": written_at,
+            "operation": "replay" if buckets is not None else "overwrite",
+            "buckets": {
+                str(b): {
+                    "rows": int(r["rows"]),
+                    "content_sum": str(r["content_sum"]) if r["content_sum"] is not None else "0",
+                }
+                for b, r in stats.items()
+            },
+        }
+    )
+    manifest["current_snapshot"] = snapshot_id
     manifest_path.write_text(json.dumps(manifest, indent=2, sort_keys=True))
     return manifest
 
@@ -104,3 +135,30 @@ def verify_manifest(spark: SparkSession, path: str) -> dict[str, bool]:
 
 def failed_buckets(spark: SparkSession, path: str) -> list[int]:
     return [int(b) for b, ok in verify_manifest(spark, path).items() if not ok]
+
+
+def lineage_df(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition lineage as a queryable DataFrame: one row per
+    (snapshot, bucket) with row counts, content fingerprints and parent
+    pointers — `SELECT * FROM lineage WHERE bucket = 7 ORDER BY snapshot`
+    answers 'who last rewrote this partition and what did it contain'."""
+    manifest = json.loads((Path(path) / "_manifest.json").read_text())
+    rows = []
+    for snap in manifest.get("snapshots", []):
+        for b, rec in snap.get("buckets", {}).items():
+            rows.append(
+                (
+                    int(snap["id"]),
+                    snap.get("parent"),
+                    snap["written_at"],
+                    snap.get("operation", "overwrite"),
+                    int(b),
+                    int(rec["rows"]),
+                    str(rec["content_sum"]),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "snapshot int, parent int, written_at string, operation string, "
+        "bucket int, rows bigint, content_sum string",
+    )

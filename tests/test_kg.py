@@ -42,6 +42,63 @@ def test_triples_match_python_oracle(spark):
     assert len(expected) > 50  # fixture really exercises matching
 
 
+def test_triples_fuzzy_path_prefilter_is_exact(spark):
+    """The t<100 native prefilters (length guard + missing-char budget)
+    must never drop a pair the unrestricted partial_ratio scorer accepts:
+    compare against a python oracle that scores EVERY (segment, option)
+    pair with no blocking."""
+    import random
+
+    from trainable_entity_extractor_spark.functions.fuzzy import partial_ratio
+
+    random.seed(13)
+    phrases = [
+        "human rights council",
+        "rule of law report",
+        "universal periodic review",
+        "special rapporteur mandate",
+    ]
+
+    def typo(s: str) -> str:
+        chars = list(s)
+        for _ in range(random.randrange(0, 4)):
+            i = random.randrange(len(chars))
+            op = random.random()
+            if op < 0.4:
+                chars[i] = random.choice("abcdefghijklmnopqrstuvwxyz")
+            elif op < 0.7:
+                chars.insert(i, random.choice("abcdefghijklmnopqrstuvwxyz"))
+            else:
+                del chars[i]
+        return "".join(chars)
+
+    rows = []
+    for u in range(40):
+        texts = []
+        for s in range(3):
+            base = random.choice(phrases)
+            texts.append(
+                f"preamble {random.randrange(100)} {typo(base)} trailing {random.randrange(100)}"
+            )
+        for i, t in enumerate(texts):
+            rows.append((f"u{u:02d}", i, 1, t))
+    segments = spark.createDataFrame(rows, "url string, seg_idx int, page int, text string")
+    opts = options_df(spark, [(str(i + 1), p) for i, p in enumerate(phrases)])
+
+    got = {
+        (t["subj"], t["obj_id"])
+        for t in extract_triples(segments, opts, "p", threshold=75.0).collect()
+    }
+    expected = set()
+    for url, seg_idx, page, text in rows:
+        norm = " ".join(text.lower().split())
+        for i, p in enumerate(phrases):
+            if partial_ratio(p, norm) >= 75.0:
+                expected.add((url, str(i + 1)))
+    assert got == expected
+    assert len(expected) > 60  # typos really exercise the fuzzy path
+
+
 def test_minhash_lsh_finds_near_duplicates(spark):
     mentions = spark.createDataFrame(
         [

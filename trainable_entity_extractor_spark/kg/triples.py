@@ -56,10 +56,51 @@ def extract_triples(
     if threshold >= 100.0:
         matched = seg.join(opt, F.col("norm_text").contains(F.col("label_lower")))
     else:
-        # native pre-filter: length guard ceil(len(option)*t/100) (FuzzyAll100.py:31-32)
-        cand = seg.join(
-            opt, F.length("norm_text") >= F.ceil(F.col("label_len") * threshold / 100.0)
+        # Native pre-filters, evaluated in codegen BEFORE any Python:
+        # 1. length guard ceil(len(option)*t/100) (FuzzyAll100.py:31-32);
+        # 2. character-presence bound: every option char absent from the
+        #    whole text costs >=1 indel op, and partial_ratio >= t bounds
+        #    the op budget at 2*len_opt*(1-t/100) — so pairs whose
+        #    missing-char mass exceeds the budget can NEVER match (exact
+        #    recall, no false drops). Segments carry one 36-bit presence
+        #    mask (36 codegen'd `contains`); the tiny broadcast dim
+        #    carries per-char counts. At large option spaces this prunes
+        #    most of the |segments| x |options| candidate surface the
+        #    Arrow kernel would otherwise score.
+        alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+        mask = None
+        for i, ch in enumerate(alphabet):
+            bit = F.when(F.col("norm_text").contains(ch), F.lit(1 << i)).otherwise(F.lit(0))
+            mask = bit if mask is None else mask + bit
+        seg = seg.withColumn("_mask", mask.cast("long"))
+
+        low = F.lower(F.col("label"))
+        cnt_cols = [
+            (F.length(low) - F.length(F.regexp_replace(low, ch, ""))).alias(f"_c{i}")
+            for i, ch in enumerate(alphabet)
+        ]
+        opt = F.broadcast(
+            options.select(
+                F.col("id").alias("obj_id"),
+                F.col("label").alias("obj_label"),
+                low.alias("label_lower"),
+                F.length(low).alias("label_len"),
+                *cnt_cols,
+            )
         )
+        missing = None
+        for i in range(len(alphabet)):
+            term = F.when(
+                F.shiftright(F.col("_mask"), i).bitwiseAND(F.lit(1)) == 0, F.col(f"_c{i}")
+            ).otherwise(F.lit(0))
+            missing = term if missing is None else missing + term
+        budget = F.floor(F.col("label_len") * (2.0 * (1.0 - threshold / 100.0)))
+
+        cand = seg.join(
+            opt,
+            (F.length("norm_text") >= F.ceil(F.col("label_len") * threshold / 100.0))
+            & (missing <= budget),
+        ).drop("_mask", *[f"_c{i}" for i in range(len(alphabet))])
 
         @F.pandas_udf(T.DoubleType())
         def score_udf(label: pd.Series, text: pd.Series) -> pd.Series:

@@ -125,3 +125,26 @@ def test_clean_labels_shared_word_removal():
     assert cleaned[0] == "france"
     assert cleaned[1] == "spain"
     assert cleaned[2] == "monaco"
+
+
+def test_truecaser_learns_context_dependent_casing():
+    """X13 stand-in: casing distributions learned from corpus. 'bill' must
+    come back as 'Bill' after 'president' (name context) but stay lower in
+    'pay the bill' (noun context)."""
+    from trainable_entity_extractor_spark.functions.truecase import fit_truecaser, truecase
+
+    corpus = (
+        ["President Bill Clinton spoke today"] * 6
+        + ["please pay the bill before friday"] * 6
+        + ["the United Nations met in Geneva"] * 4
+    )
+    model = fit_truecaser(corpus)
+    assert truecase("president bill clinton spoke", model) == "President Bill Clinton spoke"
+    assert truecase("pay the bill before friday", model) == "pay the bill before friday"
+    assert truecase("the united nations met in geneva", model) == "the United Nations met in Geneva"
+    # unknown tokens pass through untouched
+    assert truecase("zzz unknown", model) == "zzz unknown"
+    # deterministic artifact
+    import json
+
+    assert json.dumps(model, sort_keys=True) == json.dumps(fit_truecaser(corpus), sort_keys=True)

@@ -324,8 +324,12 @@ def q_ngram_jaccard_consecutive(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     # int64-hashed shingles: the join shuffles 8-byte elements, not the
-    # full 3-word shingle strings (the round-1 plan's bottleneck).
-    sh = d.select("doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh"))
+    # full 3-word shingle strings (the round-1 plan's bottleneck). The
+    # lazy checkpoint stops the self-join from evaluating the shingle
+    # projection once per side.
+    sh = d.select("doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh")).localCheckpoint(
+        eager=False
+    )
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"))
     return (

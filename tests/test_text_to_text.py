@@ -79,3 +79,44 @@ def test_date_task_wins_date_parser(spark, tmp_path):
     )
     assert "DateParser" in job.method_name
     assert preds == ["2024-08-06"]
+
+
+def test_ner_lite_tagger_spans():
+    from trainable_entity_extractor_spark.functions.ner_lite import tag_spans
+
+    spans = dict(tag_spans(
+        "The Human Rights Council met in Geneva on 12 March 2021 with Maria Santos presiding over France"
+    ))
+    assert spans.get("12 March 2021") == "DATE"
+    assert spans.get("Maria Santos") == "PERSON"
+    assert spans.get("France") == "GPE"
+    assert any(t == "ORG" and "Council" in s for s, t in spans.items())
+
+
+def test_ner_first_last_appearance_methods(tmp_path):
+    import pandas as pd
+
+    from trainable_entity_extractor_spark.domain import ExtractionContext, ExtractionIdentifier
+    from trainable_entity_extractor_spark.methods.text_to_text import (
+        NerFirstAppearanceMethod,
+        NerLastAppearanceMethod,
+    )
+
+    ctx = ExtractionContext(ExtractionIdentifier("ner", output_path=str(tmp_path)))
+    rows = [
+        {"source_text": "Rapporteur Ana Gomez filed the report with Pedro Ruiz on 1 March 2020",
+         "label_text": "Ana Gomez", "values": [], "language_iso": "en", "segments": None},
+        {"source_text": "Rapporteur Luis Costa addressed Maria Silva near the United Nations",
+         "label_text": "Luis Costa", "values": [], "language_iso": "en", "segments": None},
+    ]
+    train = pd.DataFrame(rows)
+    m = NerFirstAppearanceMethod()
+    artifact = m.fit(train, ctx)
+    assert artifact["tag_type"] == "PERSON"
+
+    pred = pd.DataFrame(
+        [{"source_text": "Rapporteur Elena Petrov met with Igor Volkov in Austria",
+          "label_text": "", "values": [], "language_iso": "en", "segments": None}]
+    )
+    assert m.predict_pandas(pred, ctx, artifact).iloc[0] == "Elena Petrov"
+    assert NerLastAppearanceMethod().predict_pandas(pred, ctx, artifact).iloc[0] == "Igor Volkov"

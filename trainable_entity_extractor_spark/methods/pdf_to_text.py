@@ -20,6 +20,8 @@ from .base import MethodBase
 from .text_to_text import (
     DateParserMethod,
     DateParserWithBreaksMethod,
+    NerFirstAppearanceMethod,
+    NerLastAppearanceMethod,
     NoSpacesRegexMethod,
     RegexMethod,
     RegexSubtractionMethod,
@@ -204,12 +206,16 @@ def build_full_selector_text_method(text_method_cls: type[MethodBase]) -> type[M
 
 
 _TEXT_METHODS = [
+    # pdf_to_text_method_builder.text_to_text_methods order (minus the
+    # GLiNER slot, an external model)
     SameInputOutputMethod,
     RegexMethod,
     NoSpacesRegexMethod,
     RegexSubtractionMethod,
     DateParserWithBreaksMethod,
     DateParserMethod,
+    NerFirstAppearanceMethod,
+    NerLastAppearanceMethod,
 ]
 
 PDF_TO_TEXT_METHODS: list[type[MethodBase]] = (

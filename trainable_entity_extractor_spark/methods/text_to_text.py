@@ -22,7 +22,7 @@ from ..functions.dates import (
     get_best_date,
     search_dates,
 )
-from .base import MethodBase, input_texts_by_lines
+from .base import MethodBase, input_text, input_texts_by_lines
 
 
 def _rows(pdf: pd.DataFrame):
@@ -245,6 +245,62 @@ class DateParserWithBreaksMethod(DateParserMethod):
         return get_best_date(dates)
 
 
+class NerFirstAppearanceMethod(MethodBase):
+    """W8/M4 (NerFirstAppearanceMethod.py:13-49): learn the MODE span tag
+    whose spans contain the label, predict the first span of that type.
+    Backed by the deterministic pattern tagger (functions/ner_lite.py)
+    instead of the absent flair model — same span/type contract."""
+
+    kind = "to_text"
+    reverse = False
+
+    def can_be_used(self, train_pdf, ctx) -> bool:
+        return not ctx.options
+
+    def fit(self, train_pdf, ctx):
+        from collections import Counter
+
+        from ..functions.ner_lite import tag_spans
+
+        clean = lambda t: " ".join((t or "").split())
+        types: Counter[str] = Counter()
+        order: list[str] = []
+        for _, row in train_pdf.iterrows():
+            text = clean(input_text(row))
+            label = clean(row.get("label_text") or "").lower()
+            if not label:
+                continue
+            for span, tag in tag_spans(text):
+                if label in clean(span).lower():
+                    types[tag] += 1
+                    order.append(tag)
+                    break
+        if not types:
+            return {"tag_type": ""}
+        # statistics.mode semantics: most common, first-seen tie-break
+        best = max(types, key=lambda t: (types[t], -order.index(t)))
+        return {"tag_type": best}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        from ..functions.ner_lite import tag_spans
+
+        tag_type = artifact.get("tag_type") or ""
+        out = []
+        for _, row in pdf.iterrows():
+            if not tag_type:
+                out.append("")
+                continue
+            spans = tag_spans(input_text(row))
+            if self.reverse:
+                spans = list(reversed(spans))
+            out.append(next((s for s, t in spans if t == tag_type), ""))
+        return pd.Series(out, index=pdf.index)
+
+
+class NerLastAppearanceMethod(NerFirstAppearanceMethod):
+    reverse = True
+
+
 TEXT_TO_TEXT_METHODS: list[type[MethodBase]] = [
     SameInputOutputMethod,
     InputWithoutSpaces,
@@ -253,7 +309,9 @@ TEXT_TO_TEXT_METHODS: list[type[MethodBase]] = [
     RegexSubtractionMethod,
     DateParserWithBreaksMethod,
     DateParserMethod,
-    # GlinerDateParser / NerFirst / NerLast / Gemini / Ollama / MT5 slots:
-    # external models or network services (reference M4/M8/M9) — registered
-    # as absent in this build; tournament functions without them.
+    NerFirstAppearanceMethod,
+    NerLastAppearanceMethod,
+    # GlinerDateParser / Gemini / Ollama / MT5 slots: external models or
+    # network services (reference M4-gliner/M8/M9) — absent in this build;
+    # the tournament functions without them.
 ]

@@ -120,3 +120,41 @@ def test_ner_first_last_appearance_methods(tmp_path):
     )
     assert m.predict_pandas(pred, ctx, artifact).iloc[0] == "Elena Petrov"
     assert NerLastAppearanceMethod().predict_pandas(pred, ctx, artifact).iloc[0] == "Igor Volkov"
+
+
+def test_truecasing_method_tournament_fit_predict(tmp_path):
+    """M8-slot stand-in: labels are cased variants of lowercased inputs —
+    the truecasing method must learn the casing and win on unseen text."""
+    import pandas as pd
+
+    from trainable_entity_extractor_spark.domain import ExtractionContext, ExtractionIdentifier
+    from trainable_entity_extractor_spark.methods.text_to_text import TrueCasingMethod
+
+    ctx = ExtractionContext(ExtractionIdentifier("tc", output_path=str(tmp_path)))
+    rows = [
+        {"source_text": "judgment of the inter-american court of human rights",
+         "label_text": "Judgment of the Inter-American Court of Human Rights",
+         "values": [], "language_iso": "es", "segments": None},
+        {"source_text": "opinion of judge garcia ramirez",
+         "label_text": "Opinion of Judge Garcia Ramirez",
+         "values": [], "language_iso": "es", "segments": None},
+        {"source_text": "ruling of the court of human rights",
+         "label_text": "Ruling of the Court of Human Rights",
+         "values": [], "language_iso": "es", "segments": None},
+    ]
+    train = pd.DataFrame(rows)
+    m = TrueCasingMethod()
+    assert m.can_be_used(train, ctx)
+    artifact = m.fit(train, ctx)
+    pred = pd.DataFrame(
+        [{"source_text": "judgment of judge garcia", "label_text": "", "values": [],
+          "language_iso": "es", "segments": None}]
+    )
+    assert m.predict_pandas(pred, ctx, artifact).iloc[0] == "Judgment of Judge Garcia"
+
+    # gate: labels unrelated to inputs -> not usable
+    unrelated = pd.DataFrame(
+        [{"source_text": "alpha beta", "label_text": "zzz qqq", "values": [],
+          "language_iso": "en", "segments": None}] * 4
+    )
+    assert not m.can_be_used(unrelated, ctx)

@@ -301,6 +301,49 @@ class NerLastAppearanceMethod(NerFirstAppearanceMethod):
     reverse = True
 
 
+class TrueCasingMethod(MethodBase):
+    """Stands at the MT5TrueCaseEnglishSpanishMethod slot (M8). The MT5
+    method is a seq2seq trained on (lowercased input → cased label); its
+    benchmark tasks are true-casing, which the trainable statistical
+    truecaser (functions/truecase.py) covers without the GPU model: fit
+    casing distributions from the labels, predict = recase the input.
+    Gated to tasks whose labels actually look like case-variants of the
+    input, so it never competes elsewhere. The full seq2seq rewrite
+    capability remains out of scope (documented)."""
+
+    kind = "to_text"
+
+    @staticmethod
+    def _clean(t: str) -> str:
+        return " ".join((t or "").split())
+
+    def can_be_used(self, train_pdf, ctx) -> bool:
+        if ctx.options or len(train_pdf) == 0:
+            return False
+        hits = 0
+        for _, row in train_pdf.iterrows():
+            label = self._clean(row.get("label_text") or "").lower()
+            text = self._clean(input_text(row)).lower()
+            if label and label in text:
+                hits += 1
+        return hits >= 0.6 * len(train_pdf)
+
+    def fit(self, train_pdf, ctx):
+        from ..functions.truecase import fit_truecaser
+
+        labels = [self._clean(row.get("label_text") or "") for _, row in train_pdf.iterrows()]
+        return {"truecaser": fit_truecaser([l for l in labels if l])}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        from ..functions.truecase import truecase
+
+        model = artifact.get("truecaser") or {"casing": {}, "uni": {}, "bw": {}, "fw": {}, "tri": {}}
+        out = [
+            truecase(self._clean(input_text(row)).lower(), model) for _, row in pdf.iterrows()
+        ]
+        return pd.Series(out, index=pdf.index)
+
+
 TEXT_TO_TEXT_METHODS: list[type[MethodBase]] = [
     SameInputOutputMethod,
     InputWithoutSpaces,
@@ -311,7 +354,7 @@ TEXT_TO_TEXT_METHODS: list[type[MethodBase]] = [
     DateParserMethod,
     NerFirstAppearanceMethod,
     NerLastAppearanceMethod,
-    # GlinerDateParser / Gemini / Ollama / MT5 slots: external models or
-    # network services (reference M4-gliner/M8/M9) — absent in this build;
-    # the tournament functions without them.
+    # GlinerDateParser / Gemini / Ollama slots: external models or network
+    # services (reference M4-gliner/M9) — absent in this build.
+    TrueCasingMethod,  # MT5TrueCaseEnglishSpanish position (truecasing facet)
 ]

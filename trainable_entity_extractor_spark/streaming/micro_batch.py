@@ -43,3 +43,68 @@ def stream_pages_to_triples(
     if availableNow:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def first_seen(stream_df: DataFrame, key_col: str):
+    """Custom stateful streaming operator (applyInPandasWithState): emit
+    each key's FIRST row across the whole stream, suppress every later
+    occurrence. The streaming analog of the batch exact-dedup stage —
+    state is one boolean per key, persisted in the streaming state store,
+    so a mention that arrived in micro-batch 3 is still deduped in
+    micro-batch 300.
+
+    Arrow-batched like every other kernel: the state function sees pandas
+    frames per key group, never per-row Python.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = stream_df.schema
+
+    def dedup(key, pdfs, state):
+        if state.exists:
+            return iter([])  # key already emitted in an earlier batch
+        first_row = None
+        for pdf in pdfs:
+            if len(pdf):
+                first_row = pdf.iloc[:1]
+                break
+        state.update((True,))
+        if first_row is None:
+            return iter([])
+        return iter([first_row])
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_first_seen_mentions(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    key_col: str = "mention_id",
+    availableNow: bool = True,
+):
+    """File-source stream → stateful first-seen dedup → parquet sink."""
+    schema = spark.read.parquet(input_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(input_path)
+    )
+    deduped = first_seen(stream, key_col)
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if availableNow:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

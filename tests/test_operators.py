@@ -176,3 +176,42 @@ def test_lang_id_and_quality(spark):
     assert q[0]["stopword_ratio"] > 0.3
     assert q[2]["stopword_ratio"] == 0.0
     assert q[0]["n_words"] == 12
+
+
+def test_salted_aggregations_match_unsalted(spark):
+    """Salt-based skew mitigation: two-stage salted collect_set /
+    count_distinct must return exactly the unsalted results, with the hot
+    key's payload sharded across (key, salt) groups in stage 1."""
+    from trainable_entity_extractor_spark.operators.skew import (
+        salted_collect_set,
+        salted_count_distinct,
+    )
+
+    rows = [("hot", f"v{i % 97}") for i in range(5000)] + [
+        (f"cold{i}", f"x{i}") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+
+    got_sets = {
+        r["k"]: sorted(r["values"]) for r in salted_collect_set(df, "k", "v").collect()
+    }
+    want_sets = {
+        r["k"]: sorted(r["values"])
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("values")).collect()
+    }
+    assert got_sets == want_sets
+
+    got_counts = {
+        r["k"]: r["n_distinct"] for r in salted_count_distinct(df, "k", "v").collect()
+    }
+    assert got_counts["hot"] == 97
+    assert all(got_counts[f"cold{i}"] == 1 for i in range(50))
+
+
+def test_associative_agg_has_partial_aggregation(spark):
+    """Hot keys in count/min aggs are already collapsed map-side: the plan
+    must show two HashAggregate stages (partial + final) around the
+    exchange — the reason associative aggs need no salting."""
+    df = spark.createDataFrame([("k", 1)] * 10, "k string, v int")
+    plan = df.groupBy("k").agg(F.count("*")) ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2

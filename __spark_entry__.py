@@ -306,16 +306,15 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_fingerprint_distinct(spark, sf_dir):
-    """text analysis: distinct fingerprints per source."""
+    """text analysis: distinct fingerprints per source, via the salted
+    two-stage exact count-distinct (operators/skew.py) — a hot source
+    never funnels its whole fingerprint set through one reducer."""
     from trainable_entity_extractor_spark.operators.dedup import fingerprint
+    from trainable_entity_extractor_spark.operators.skew import salted_count_distinct
 
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("source", fingerprint(F.col("text")).alias("fp"))
-        .groupBy("source")
-        .agg(F.count_distinct("fp").alias("n_distinct"))
-        .orderBy("source")
-    )
+    fps = d.select("source", fingerprint(F.col("text")).alias("fp"))
+    return salted_count_distinct(fps, "source", "fp").orderBy("source")
 
 
 def q_ngram_jaccard_consecutive(spark, sf_dir):

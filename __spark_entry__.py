@@ -263,7 +263,12 @@ def q_adjacent_duplicates(spark, sf_dir):
     Scale note: expressed as a doc_id+1 equi-join (fingerprint-only
     payload), NOT an unpartitioned window — a global `Window.orderBy`
     funnels every row through one task. The in-engine F13
-    (operators/alignment.py) is per-document and already partitioned."""
+    (operators/alignment.py) is per-document and already partitioned.
+
+    ASSUMES dense consecutive doc_ids (true of the documents table:
+    doc_id = 0..N-1 at every scale factor, see TESTDATA.md). The DuckDB
+    oracle deliberately keeps the lead()-over-doc_id formulation so the
+    gate verifies this equivalence rather than mirroring the join."""
     d = _t(spark, sf_dir, "documents")
     fp = d.select("doc_id", F.md5("text").alias("fp"))
     nxt = fp.select((F.col("doc_id") - 1).alias("doc_id"), F.col("fp").alias("fp_next"))
@@ -318,28 +323,32 @@ def q_fingerprint_distinct(spark, sf_dir):
 
 
 def q_ngram_jaccard_consecutive(spark, sf_dir):
-    """near-dup: word-3-gram Jaccard between consecutive doc ids."""
+    """near-dup: word-3-gram Jaccard between consecutive doc ids.
+
+    Plan notes (round-3 rework, was 3.05 s at sf0.1): ONE self-join, no
+    checkpoint job. int64-hashed shingles keep the join payload at 8
+    bytes/element; computing the shingle projection once per join side is
+    map-side work that AQE turns into a broadcast build at small SF and a
+    plain shuffled hash join at crawl scale — cheaper than the round-2
+    localCheckpoint, which serialized an extra materialization job into
+    every run. Union size comes from |A|+|B|-|A∩B| (arrays are distinct),
+    halving the per-row array-set work vs intersect+union."""
     from trainable_entity_extractor_spark.operators.dedup import word_shingles_hashed
 
     d = _t(spark, sf_dir, "documents")
-    # int64-hashed shingles: the join shuffles 8-byte elements, not the
-    # full 3-word shingle strings (the round-1 plan's bottleneck). The
-    # lazy checkpoint stops the self-join from evaluating the shingle
-    # projection once per side.
-    sh = d.select("doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh")).localCheckpoint(
-        eager=False
-    )
+    sh = d.select("doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"))
     return (
         a.join(b, "a")
         .select(
             F.col("a").alias("doc_id"),
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("_ni"),
+            (F.size("sh_a") + F.size("sh_b")).alias("_ns"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("_ni") / (F.col("_ns") - F.col("_ni")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") > 0)
         .orderBy("doc_id")
@@ -358,7 +367,9 @@ def q_cosine_topk(spark, sf_dir):
 def q_label_centroid_sim(spark, sf_dir):
     """embedding agg: per-label mean vector norm (vector agg exercise)."""
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    # dim from the parquet footer (driver-side metadata peek) — NOT a
+    # Spark .first() action during query construction
+    dim = _embedding_dim_at(f"{sf_dir}/embeddings.parquet")
     comps = [F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}") for i in range(dim)]
     cent = e.groupBy("label").agg(*comps, F.count("*").alias("n_vecs"))
     norm = F.sqrt(sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(dim)))
@@ -653,9 +664,18 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sigs GROUP BY 1 HAVING count(*) > 1 ORDER BY bucket
         """,
         "adjacent_duplicates": """
-            WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents)
-            SELECT a.doc_id FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1
-            WHERE a.fp = b.fp ORDER BY a.doc_id
+            -- intentionally the ORIGINAL lead() formulation, NOT the
+            -- doc_id+1 join the Spark side uses: the join assumes dense
+            -- consecutive doc_ids (asserted in q_adjacent_duplicates's
+            -- docstring and true of the documents table), and keeping the
+            -- window form here means the gate checks that equivalence
+            -- instead of mirroring the implementation.
+            WITH nxt AS (
+                SELECT doc_id, md5(text) AS fp,
+                       lead(md5(text)) OVER (ORDER BY doc_id) AS fp_next
+                FROM documents)
+            SELECT doc_id FROM nxt
+            WHERE fp = fp_next ORDER BY doc_id
         """,
         "quality_stats": """
             WITH q AS (
@@ -848,16 +868,24 @@ def _label_centroid_sql(dim: int) -> str:
     """
 
 
-def _embedding_dim(default: int = 64) -> int:
+def _embedding_dim_at(path: str, default: int = 64) -> int:
+    """Embedding dimensionality from one parquet file, read driver-side
+    with DuckDB (no Spark job)."""
     try:
         import duckdb
 
-        for sf in ("sf0.01", "sf0.001", "sf0.1"):
-            path = f"/root/testdata/{sf}/embeddings.parquet"
-            if os.path.exists(path):
-                return duckdb.sql(f"select len(embedding) from '{path}' limit 1").fetchone()[0]
+        if os.path.exists(path):
+            return duckdb.sql(f"select len(embedding) from '{path}' limit 1").fetchone()[0]
     except Exception:
         pass
+    return default
+
+
+def _embedding_dim(default: int = 64) -> int:
+    for sf in ("sf0.01", "sf0.001", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if os.path.exists(path):
+            return _embedding_dim_at(path, default)
     return default
 
 

@@ -27,7 +27,7 @@ BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 SCALE_PAGES = 400000  # large enough that Spark's ~0.4s/job serial
 # scheduling floor (~20 jobs/run) stays under a few percent of the
 # narrow-width run — Amdahl housekeeping, not pipeline work
-EXTRACT_PAGES = int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES", "800000"))
+EXTRACT_PAGES = int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES", "400000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
 # headline subset: one per operator family, heavier ones included on purpose
@@ -151,23 +151,35 @@ def main():
         # and the per-level best (= least-throttled conditions) is used.
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", str(SCALE_PAGES)))
         # 3 trials by default — a single paired ratio on this VM swings
-        # 0.57-1.02 with CPU steal; the budget guard below stops extra
-        # trials if the run would blow the bench budget
+        # 0.57-1.02 with CPU steal; the budget guard below skips a trial
+        # only when the PROJECTED cost (measured cost of the previous
+        # pipeline pair) would blow the bench budget. The supplementary
+        # extract-only pairing runs once, in the first trial, so the
+        # headline pipeline pairing gets all three samples first — in
+        # round 2 running extract inside every trial pushed trial 3 past
+        # the budget and the efficiency median rested on 2 samples.
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "500"))
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "660"))
         samples: dict[int, list[float]] = {1: [], 4: []}
         extract_samples: dict[int, list[float]] = {1: [], 4: []}
+        pipe_pair_cost = 0.0
         for t in range(trials):
-            if t > 0 and time.time() - t_start > budget:
+            if t > 0 and time.time() - t_start + pipe_pair_cost > budget:
                 break  # stay inside the driver's bench budget
+            pair_t0 = time.time()
+            extract_time = 0.0
             for cores in (1, 4):
                 s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
                 pps = pipeline_throughput(s, n_scale, warmup=True)
                 samples[cores].append(round(pps, 1))
-                extract_samples[cores].append(
-                    round(extract_throughput(s, EXTRACT_PAGES, warmup=True), 1)
-                )
+                if t == 0:
+                    e0 = time.time()
+                    extract_samples[cores].append(
+                        round(extract_throughput(s, EXTRACT_PAGES, warmup=True), 1)
+                    )
+                    extract_time += time.time() - e0
                 s.stop()
+            pipe_pair_cost = (time.time() - pair_t0) - extract_time
         # median across trials is the headline number (best-of overstates
         # on a VM with 3x CPU-steal noise; the max is kept for reference)
         from statistics import median

@@ -21,9 +21,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from collections import OrderedDict
+
 from ..domain import EMPTY_PLACEHOLDER, ExtractionContext, Performance
 from ..methods.base import MethodBase
 from ..schemas import SUGGESTIONS_SCHEMA
+
+# LRU of live (method, ctx, artifact) broadcasts, keyed by payload md5 —
+# see get_suggestions_spark. Bounded so a long-lived session holds at most
+# this many broadcast payloads; evicted entries are unpersisted.
+_BROADCAST_CACHE: OrderedDict = OrderedDict()
+_BROADCAST_CACHE_MAX = 32
 
 
 def get_train_test_split(samples: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -163,9 +171,29 @@ class ExtractorBase:
         # pickler can't resolve by module attribute lookup
         from pyspark import cloudpickle
 
-        state_bc = df.sparkSession.sparkContext.broadcast(
-            cloudpickle.dumps((method, ctx, artifact))
-        )
+        # one broadcast per distinct (method, ctx, artifact) payload, not
+        # per infer call: tournaments call this per method × split, and a
+        # never-unpersisted broadcast per call leaks driver/executor
+        # broadcast storage across a long session. Content-keyed (md5 of
+        # the pickled bytes), so identical re-infers reuse the torrent.
+        import hashlib
+
+        payload = cloudpickle.dumps((method, ctx, artifact))
+        sc = df.sparkSession.sparkContext
+        # applicationId in the key: a broadcast is only valid within the
+        # SparkContext that created it (bench/tests start several sessions)
+        key = (sc.applicationId, hashlib.md5(payload).hexdigest())
+        cached = _BROADCAST_CACHE.get(key)
+        if cached is None:
+            if len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+                _, old = _BROADCAST_CACHE.popitem(last=False)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # session may already be gone
+            cached = sc.broadcast(payload)
+            _BROADCAST_CACHE[key] = cached
+        state_bc = cached
         for col in ("source_text", "segments"):
             if col not in df.columns:
                 df = df.withColumn(col, F.lit(None).cast("string" if col == "source_text" else "array<struct<seg_idx:int,page:int,left:double,top:double,width:double,height:double,seg_type:string,text:string,ml_label:int>>"))

@@ -17,35 +17,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(spark, pairs: list[tuple]) -> DataFrame:
+def _driver_union_find(spark, pdf) -> DataFrame:
     """Exact same contract as the distributed loop (component = min id),
     computed on the driver. Used below the size threshold where Spark's
     per-job latency would dominate; at cluster scale the distributed loop
-    takes over."""
-    parent: dict = {}
+    takes over.
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in pairs:
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    Two deliberate choices for the serial floor (this runs at the same
+    wall-time regardless of cluster width, so every ms here is Amdahl
+    poison for scaling efficiency):
+    - the component labels come from VECTORIZED numpy hash-min + pointer
+      jumping over factorized edge arrays — no per-edge Python loop;
+    - the result re-enters Spark as a driver-written parquet file read
+      back as a scan. `spark.createDataFrame(pdf)` embeds every row into
+      task closures (the round-2 bench's "task of very large size
+      (3096 KiB)" warning came from exactly that); a file scan ships
+      file paths, not rows.
+    """
+    import numpy as np
     import pandas as pd
 
-    ids = list(parent)
-    pdf = pd.DataFrame({"id": ids, "component": [find(x) for x in ids]})
-    return spark.createDataFrame(pdf, schema="id string, component string")
+    if len(pdf) == 0:
+        empty = pd.DataFrame({"id": pd.Series(dtype=pdf["u"].dtype)})
+        empty["component"] = empty["id"]
+        return spark.createDataFrame(empty)
+
+    both = pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    m = len(pdf)
+    eu = np.asarray(codes[:m], dtype=np.int64)
+    ev = np.asarray(codes[m:], dtype=np.int64)
+    uniq_arr = np.asarray(uniq)
+    n = len(uniq_arr)
+    # work in sorted-rank space so numeric min == "min id" in the column's
+    # natural order (lexicographic for strings, numeric for ints)
+    order = np.argsort(uniq_arr, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    ru, rv = rank[eu], rank[ev]
+
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        old = label.copy()
+        # hash-min sweep over all edges at once (unbuffered scatter-min)
+        np.minimum.at(label, ru, old[rv])
+        np.minimum.at(label, rv, old[ru])
+        # pointer jumping: label <- label[label] until within-sweep fixpoint
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, old):
+            break
+
+    sorted_ids = uniq_arr[order]
+    out = pd.DataFrame({"id": pd.Series(sorted_ids), "component": pd.Series(sorted_ids[label])})
+
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="tee_uf_")
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{tmp}/part-0.parquet")
+    return spark.read.parquet(tmp)
 
 
 def connected_components(
@@ -75,8 +111,7 @@ def connected_components(
     n_edges = 2 * edges.count()  # near-free: counts the stored checkpoint
     if n_edges <= driver_threshold:
         pdf = edges.toPandas()  # Arrow transfer — far cheaper than row collect
-        pairs = list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
-        return _driver_union_find(spark, pairs)
+        return _driver_union_find(spark, pdf)
 
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(width, n_edges // 50_000 + 1))

@@ -89,6 +89,11 @@ def _minhash_kernel(texts, n_perms: int, k: int, max_chars: int):
     """
     import numpy as np
 
+    # the interleaved reduceat offsets below assume at least one discard
+    # slot per row (valid_end < row end); with k=1 the final offset would
+    # equal len(gram) and reduceat would raise out-of-bounds
+    assert k >= 2, "_minhash_kernel requires shingle size k >= 2"
+
     a, b = _perm_coeffs(n_perms)
     # int64 throughout: this numpy build has no SIMD kernel for uint64
     # multiply (~100x slower); two's-complement wraparound is bit-identical
@@ -216,22 +221,24 @@ def lsh_candidate_pairs(
 
     # One groupBy gives blocks AND the size cap (skew mitigation, north
     # rule) — no count-join back onto the banded rows. Pair generation is a
-    # bounded self-join on the block id (every block <= cap members).
-    blocks = (
+    # bounded self-join keyed by the natural (band, key) block identity —
+    # NOT monotonically_increasing_id, whose values are only consistent
+    # across the self-join's two evaluation branches under a fixed
+    # partition layout (AQE/recompute can break that).
+    members = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("mention_id").alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= block_cap))
-        .select(F.monotonically_increasing_id().alias("block_id"), "ids")
+        .select("band", "key", F.explode("ids").alias("m"))
     )
-    members = blocks.select("block_id", F.explode("ids").alias("m"))
-    left = members.select("block_id", F.col("m").alias("a"))
-    right = members.select("block_id", F.col("m").alias("b"))
+    left = members.select("band", "key", F.col("m").alias("a"))
+    right = members.select("band", "key", F.col("m").alias("b"))
     # distinct BEFORE scoring: a pair appearing in several bands would
     # otherwise flow through the two signature joins once per band —
     # deduping 16-byte (a,b) rows costs one cheap shuffle and shrinks the
     # scoring joins by the duplication factor (bands-1 in the worst case).
     return (
-        left.join(right, "block_id")
+        left.join(right, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -432,7 +439,13 @@ def score_blocks(
             ends = np.concatenate([change, [len(pdf)]])
             sig_mat = pdf[scol].to_numpy(dtype=np.int64)
             sizes = ends - starts
-            pair_total = int((sizes * (sizes - 1) // 2).clip(min=0).sum())
+            # size the pair scratch from the blocks that will actually emit:
+            # over-cap blocks are skipped below (skew guard), so counting
+            # them here would allocate O(s^2) scratch for a hot-key
+            # mega-block that lands inside one Arrow batch — the exact OOM
+            # the cap exists to prevent.
+            emit_sizes = np.where((sizes < 2) | (sizes > block_cap), 0, sizes)
+            pair_total = int((emit_sizes * (emit_sizes - 1) // 2).sum())
             i_out = np.empty(pair_total, dtype=np.int64)
             j_out = np.empty(pair_total, dtype=np.int64)
             pos = 0

@@ -62,7 +62,10 @@ def filter_segments_py(
         if keep_dot and text and (seg.get("text") or "").endswith("."):
             text += "."
         new_seg["text"] = text
-        total += 1 + len(cut)
+        # budget grows by the EMITTED text including the kept dot — the
+        # reference appends the dot to text_content before accumulating
+        # total_text (CleanBeginningDot500.get_first_tokens:19-24)
+        total += 1 + len(text)
         out.append(new_seg)
     if from_end:
         out = list(reversed(out))

@@ -122,18 +122,24 @@ def fit_ivf_centroids(
     sample: int = 10_000,
     vec_col: str = "embedding",
     seed: int = 42,
+    order_col: str | None = "vec_id",
 ):
     """Deterministic k-means coarse quantizer for IVF (driver-fit over a
     bounded sample, like every other trainable artifact in this engine).
 
     Returns a list[list[float]] of centroids (JSON-able artifact).
     Deterministic: fixed iteration count, seedless farthest-point-style
-    init from a limit(sample) scan (stable input order), ties broken by
-    lowest index.
+    init, ties broken by lowest index. The sample is taken in `order_col`
+    order — `limit` on an unordered frame is NOT stable across partition
+    layouts/AQE, so an explicit sort key is what makes the artifact
+    reproducible (pass order_col=None only for throwaway fits).
     """
     import numpy as np
 
-    rows = embeddings.select(vec_col).limit(sample).collect()
+    sampled = embeddings
+    if order_col is not None and order_col in embeddings.columns:
+        sampled = embeddings.orderBy(order_col)
+    rows = sampled.select(vec_col).limit(sample).collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     if len(x) == 0:
         return []

@@ -250,11 +250,20 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_minhash_buckets(spark, sf_dir):
-    """dedup: MinHash candidate buckets (md5 string-min signatures)."""
+    """dedup: MinHash candidate buckets (md5 string-min signatures).
+
+    The repartition spreads the signature projection (4 md5s per word)
+    across cores — the small-SF parquet file otherwise scans as a single
+    partition and the map stage runs serial (measured 1.17 s → 0.61 s at
+    sf0.1). At crawl scale the input's natural splits make it a no-op
+    cost-wise: it keys by doc_id, which the groupBy would shuffle anyway."""
     from trainable_entity_extractor_spark.operators.dedup import minhash_buckets
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_buckets(d).orderBy("bucket")
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return minhash_buckets(d.select("doc_id", "text").repartition(width, "doc_id")).orderBy(
+        "bucket"
+    )
 
 
 def q_adjacent_duplicates(spark, sf_dir):
@@ -325,18 +334,25 @@ def q_fingerprint_distinct(spark, sf_dir):
 def q_ngram_jaccard_consecutive(spark, sf_dir):
     """near-dup: word-3-gram Jaccard between consecutive doc ids.
 
-    Plan notes (round-3 rework, was 3.05 s at sf0.1): ONE self-join, no
-    checkpoint job. int64-hashed shingles keep the join payload at 8
-    bytes/element; computing the shingle projection once per join side is
-    map-side work that AQE turns into a broadcast build at small SF and a
-    plain shuffled hash join at crawl scale — cheaper than the round-2
-    localCheckpoint, which serialized an extra materialization job into
-    every run. Union size comes from |A|+|B|-|A∩B| (arrays are distinct),
-    halving the per-row array-set work vs intersect+union."""
+    Plan notes (round-3 rework, 3.05 s → ~0.75 s at sf0.1): ONE self-join,
+    no checkpoint job. The measured round-2 bottleneck was neither the
+    array ops nor the string shingles — it was the sf0.1 documents file
+    scanning as a SINGLE partition, so the interpreted shingle projection
+    ran on one core. The explicit repartition on doc_id is the join's own
+    hash exchange done EARLY, before the heavy projection, and is what a
+    crawl-scale input's natural splits would provide for free. int64-
+    hashed shingles keep any later shuffle payload at 8 bytes/element;
+    union size comes from |A|+|B|-|A∩B| (arrays are distinct), halving the
+    per-row array-set work vs intersect+union. (A/B-tested alternatives:
+    numeric xxhash64-combined shingles — no gain over strings once
+    parallel; localCheckpoint — an extra serial materialization job.)"""
     from trainable_entity_extractor_spark.operators.dedup import word_shingles_hashed
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh"))
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh = d.select("doc_id", "text").repartition(width, "doc_id").select(
+        "doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"))
     return (

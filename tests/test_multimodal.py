@@ -39,3 +39,81 @@ def test_frame_sampling_one_to_many(spark):
     assert set(pdf.columns) == {"asset_id", "frame_idx", "frame"}
     per_asset = pdf.groupby("asset_id")["frame_idx"].count()
     assert (per_asset == 4).all()  # 32-byte blobs / 8 = 4 frames
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode path
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from trainable_entity_extractor_spark.operators.multimodal import (
+    average_phash64,
+    decode_image_array,
+    encode_png,
+    image_phash,
+    phash_duplicates,
+)
+
+
+def _synth_image(seed: int, h: int = 13, w: int = 17, c: int = 3) -> np.ndarray:
+    """Deterministic pseudo-random image without RNG state leakage."""
+    idx = np.arange(h * w * c, dtype=np.int64)
+    vals = (idx * 2654435761 + seed * 97) % 251
+    return vals.reshape(h, w, c).astype(np.uint8)
+
+
+def test_png_roundtrip_all_filters_and_channel_counts():
+    for c in (1, 2, 3, 4):
+        img = _synth_image(seed=c, h=9, w=11, c=c)
+        for f in range(5):
+            payload = encode_png(img, filter_type=f)
+            arr = decode_image_array(payload)
+            assert arr.shape == (9, 11, c), (c, f)
+            assert np.array_equal(arr, img), f"filter {f}, channels {c}"
+
+
+def test_decode_image_real_png_meta():
+    img = _synth_image(seed=3, h=20, w=32, c=3)
+    meta = decode_image(encode_png(img))  # no deterministic_fake needed
+    assert meta == {"width": 32, "height": 20, "channels": 3, "format": "png"}
+
+
+def test_phash_invariant_to_encoding_filter_and_sensitive_to_content():
+    img = _synth_image(seed=7, h=24, w=24, c=3)
+    h0 = average_phash64(decode_image_array(encode_png(img, 0)))
+    h4 = average_phash64(decode_image_array(encode_png(img, 4)))
+    assert h0 == h4  # same pixels, different wire encoding
+    other = _synth_image(seed=8, h=24, w=24, c=3)
+    assert average_phash64(other) != h0
+
+
+def test_phash_dedup_buckets(spark):
+    img_a = _synth_image(seed=1, h=16, w=16, c=3)
+    img_b = _synth_image(seed=2, h=16, w=16, c=3)
+    rows = [
+        ("a1", bytearray(encode_png(img_a, 0))),
+        ("a2", bytearray(encode_png(img_a, 2))),  # same pixels, refiltered
+        ("b1", bytearray(encode_png(img_b))),
+        ("junk", bytearray(b"not a png")),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id string, blob binary")
+    hashes = {r["asset_id"]: r["phash"] for r in image_phash(assets).collect()}
+    assert hashes["junk"] is None
+    assert hashes["a1"] == hashes["a2"] != hashes["b1"]
+    dups = phash_duplicates(assets).collect()
+    assert len(dups) == 1 and dups[0]["n_assets"] == 2 and dups[0]["keep_id"] == "a1"
+
+
+def test_image_features_uses_real_pixels_for_png(spark):
+    flat = np.full((8, 8, 3), 10, dtype=np.uint8)
+    bright = np.full((8, 8, 3), 250, dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [("dark", bytearray(encode_png(flat))), ("bright", bytearray(encode_png(bright)))],
+        "asset_id string, blob binary",
+    )
+    rows = {r["asset_id"]: r for r in image_features(assets).collect()}
+    assert rows["dark"]["meta"]["format"] == "png"
+    # 4x4 grayscale means: dark image ~10/255, bright ~250/255
+    assert all(abs(v - 10 / 255) < 1e-6 for v in rows["dark"]["feature"][:16])
+    assert all(abs(v - 250 / 255) < 1e-6 for v in rows["bright"]["feature"][:16])

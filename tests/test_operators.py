@@ -157,6 +157,13 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     # determinism: refit gives identical centroids
     assert fit_ivf_centroids(e, n_centroids=5, iters=8) == cents
 
+    # determinism across partition layouts: the fit samples via a stable
+    # orderBy before limit(), so a repartitioned copy of the same data
+    # must yield a bit-identical artifact (round-2 verdict item: unordered
+    # limit() is not stable under AQE/partition changes)
+    assert fit_ivf_centroids(e.repartition(7), n_centroids=5, iters=8) == cents
+    assert fit_ivf_centroids(e.repartition(13, "vec_id"), n_centroids=5, iters=8) == cents
+
 
 def test_lang_id_and_quality(spark):
     d = docs_df(

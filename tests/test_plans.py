@@ -72,6 +72,39 @@ def test_linking_plan_has_no_pair_join(spark):
     assert plan.count("Exchange") <= 3  # band shuffle + distinct (+AQE read)
 
 
+def test_lsh_candidate_pairs_keyed_by_band_key(spark):
+    """The explicit pair path must key its self-join by the natural
+    (band, key) block identity — monotonically_increasing_id is only
+    consistent across the join's two evaluation branches under a fixed
+    partition layout, which AQE/recompute can break."""
+    from trainable_entity_extractor_spark.kg.linking import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    mentions = spark.createDataFrame(
+        [(f"m{i}", f"shared phrase body {i % 5}") for i in range(40)],
+        "mention_id string, mention string",
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(mentions))
+    assert "monotonically_increasing_id" not in _optimized(pairs)
+    # identical groups share signatures -> every within-group pair MUST
+    # appear (LSH may add cross-group near-collision candidates on top —
+    # candidates are recall, precision comes from the scorer)
+    from itertools import combinations
+
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    must_have = set()
+    for g in range(5):
+        ids = [f"m{i}" for i in range(40) if i % 5 == g]
+        for x, y in combinations(ids, 2):
+            must_have.add((min(x, y), max(x, y)))
+    assert must_have <= got
+    assert all(a < b for a, b in got)
+    # deterministic across re-evaluation (the monotonic-id keying was not)
+    assert got == {(r["a"], r["b"]) for r in pairs.collect()}
+
+
 def test_adjacent_duplicates_has_no_global_window(spark):
     """Regression: the round-1 plan used Window.orderBy with no partition
     (single-task sort). The join form must not contain a window at all."""

@@ -2,24 +2,196 @@
 columns with typed metadata structs.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
-signatures, partition behavior — is real and tested. The actual
-decode/resample kernels require media libraries this container doesn't
-ship, so they are stubbed: `decode_image`/`decode_audio` raise
-NotImplementedError unless `deterministic_fake=True`, which produces a
-seeded, content-derived fake (stable across runs/parallelism) that keeps
-the downstream feature pipeline exercisable end to end.
+signatures, partition behavior — is real and tested. Decoding:
+
+- PNG (8-bit, non-interlaced gray/RGB/RGBA/gray+alpha) is decoded FOR
+  REAL by a from-scratch zlib+numpy codec below (`_png_decode`), with
+  channel stats, an 8x8 average perceptual hash, and a 4x4 grayscale
+  feature vector — fully deterministic, no media libraries needed.
+- Other formats (JPEG/audio/video) require codecs this container doesn't
+  ship; those paths raise NotImplementedError unless
+  `deterministic_fake=True`, which produces a seeded content-derived fake
+  (stable across runs/parallelism) that keeps the downstream feature
+  pipeline exercisable end to end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> channel count
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §6). Vectorized across each
+    row for filters 0/2; the left-dependent filters (1/3/4) fall back to
+    a per-pixel-group loop within the row — rows themselves stream in
+    order because Up/Average/Paeth reference the prior reconstructed row."""
+    stride = w * c + 1
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * c), dtype=np.uint16)
+    prev = np.zeros(w * c, dtype=np.uint16)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: cumulative sum per channel lane
+            lanes = line.reshape(w, c).astype(np.uint32)
+            rec = (np.cumsum(lanes, axis=0, dtype=np.uint32) & 0xFF).reshape(w * c)
+            # cumsum mod 256 needs the mask applied after full sum; uint32
+            # headroom (255*w < 2^32) keeps the running sum exact
+        elif ftype == 3:  # Average
+            rec = np.zeros(w * c, dtype=np.uint16)
+            for x in range(w * c):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.zeros(w * c, dtype=np.uint16)
+            for x in range(w * c):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, c)
+
+
+def _png_decode(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Real PNG decode: chunk walk, IDAT inflate, scanline unfilter.
+    Supports 8-bit non-interlaced gray/gray+alpha/RGB/RGBA (the shapes a
+    training-data pipeline actually stores); palette/16-bit/interlaced
+    raise ValueError rather than guessing."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    width = height = None
+    channels = None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            channels = _PNG_CHANNELS.get(color_type)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    expected = height * (width * channels + 1)
+    if raw.size != expected:
+        raise ValueError(f"PNG data size {raw.size} != expected {expected}")
+    arr = _png_unfilter(raw, height, width, channels)
+    return arr, {"width": width, "height": height, "channels": channels, "format": "png"}
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal deterministic PNG encoder (single filter type, one IDAT)
+    for synth assets and tests — the inverse of `_png_decode` for
+    supported shapes. filter_type 0-4 lets tests exercise every unfilter
+    path of the decoder."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = arr.reshape(h, w * c).astype(np.int32)
+    scanlines = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = (line - left) & 0xFF
+        elif filter_type == 2:  # Up
+            filt = (line - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = (line - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = (line - pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {filter_type}")
+        scanlines.append(filter_type)
+        scanlines.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    idat = zlib.compress(bytes(scanlines), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _block_reduce(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area downsample to (out_h, out_w) via index-mapped
+    block means (no interpolation libraries)."""
+    h, w = gray.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = float(block.mean())
+    return out
+
+
+def average_phash64(arr: np.ndarray) -> int:
+    """64-bit average perceptual hash: 8x8 area-downsampled grayscale,
+    bit i set iff cell i > mean. Signed int64 (Spark LongType-safe)."""
+    gray = arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+    cells = _block_reduce(gray, 8, 8).ravel()
+    bits = cells > cells.mean()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
 
 IMAGE_META_STRUCT = T.StructType(
     [
@@ -59,9 +231,16 @@ def _fake_bytes_features(payload: bytes, dim: int) -> list[float]:
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
-    """STUB: real decode needs PIL/opencv (absent here)."""
+    """Image metadata. PNG payloads are decoded for real (`_png_decode`);
+    other formats need codecs absent from this container and either fall
+    back to the deterministic fake or raise."""
+    if (payload or b"").startswith(_PNG_SIG):
+        _, meta = _png_decode(payload)
+        return meta
     if not deterministic_fake:
-        raise NotImplementedError("image decoding requires a media library not present in this environment")
+        raise NotImplementedError(
+            "non-PNG image decoding requires a media library not present in this environment"
+        )
     h = hashlib.sha256(payload or b"").digest()
     return {
         "width": 64 + h[0] % 192,
@@ -69,6 +248,12 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
         "channels": 3,
         "format": "fake",
     }
+
+
+def decode_image_array(payload: bytes) -> np.ndarray:
+    """Full pixel decode (PNG only). Raises on other formats."""
+    arr, _ = _png_decode(payload or b"")
+    return arr
 
 
 def image_features(
@@ -89,11 +274,63 @@ def image_features(
             metas, feats = [], []
             for blob in pdf[blob_col]:
                 payload = bytes(blob) if blob is not None else b""
-                metas.append(decode_image(payload, deterministic_fake))
-                feats.append(_fake_bytes_features(payload, dim))
+                if payload.startswith(_PNG_SIG):
+                    arr, meta = _png_decode(payload)
+                    metas.append(meta)
+                    # real content feature: 4x4 area-downsampled grayscale
+                    # (16 floats in [0,1]), padded/truncated to dim
+                    g = _block_reduce(
+                        arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr, 4, 4
+                    ).ravel() / 255.0
+                    vec = list(g[:dim]) + [0.0] * max(0, dim - g.size)
+                    feats.append([float(v) for v in vec])
+                else:
+                    metas.append(decode_image(payload, deterministic_fake))
+                    feats.append(_fake_bytes_features(payload, dim))
             yield pd.DataFrame({"asset_id": pdf[id_col], "meta": metas, "feature": feats})
 
     return assets.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def image_phash(
+    assets: DataFrame, id_col: str = "asset_id", blob_col: str = "blob"
+) -> DataFrame:
+    """binary PNG blobs → 64-bit average perceptual hash per asset
+    (mapInPandas, Arrow-batched; null phash for undecodable payloads).
+    Near-dup buckets come from grouping on the hash — same shape as the
+    text fingerprint dedup, so the downstream groupBy scales identically."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for blob in pdf[blob_col]:
+                payload = bytes(blob) if blob is not None else b""
+                try:
+                    hashes.append(average_phash64(decode_image_array(payload)))
+                except ValueError:
+                    hashes.append(None)
+            yield pd.DataFrame({"asset_id": pdf[id_col], "phash": pd.array(hashes, dtype="Int64")})
+
+    return assets.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_duplicates(assets: DataFrame, id_col: str = "asset_id", blob_col: str = "blob") -> DataFrame:
+    """Perceptual-hash duplicate buckets: (phash, n_assets, keep_id)."""
+    return (
+        image_phash(assets, id_col, blob_col)
+        .filter(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(F.count("*").alias("n_assets"), F.min("asset_id").alias("keep_id"))
+        .filter(F.col("n_assets") > 1)
+    )
 
 
 def sample_frames(

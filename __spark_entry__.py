@@ -501,6 +501,24 @@ def q_char_budget_both_ends(spark, sf_dir):
     )
 
 
+def q_phash_dedup(spark, sf_dir):
+    """multimodal: perceptual-hash duplicate buckets over REAL PNG blobs
+    (from-scratch zlib+numpy decode, operators/multimodal.py). The asset
+    table is synthesized deterministically (no external data); every 5th
+    image repeats the previous one's pixels under a different wire
+    encoding, which byte-level dedup misses and pHash catches. No SQL
+    oracle exists for PNG decode — driver records the rows-only check;
+    pixel-exact decode + phash invariance are pytest-gated
+    (tests/test_multimodal.py)."""
+    from trainable_entity_extractor_spark.operators.multimodal import (
+        phash_duplicates,
+        synth_png_assets,
+    )
+
+    assets = synth_png_assets(spark, 200, seed=7)
+    return phash_duplicates(assets).orderBy("phash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -532,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_budget_prefix": q_char_budget_prefix,
         "simhash_buckets": q_simhash_buckets,
         "char_budget_both_ends": q_char_budget_both_ends,
+        "phash_dedup": q_phash_dedup,
     }
 
 

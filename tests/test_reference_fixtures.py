@@ -156,3 +156,71 @@ def test_rightdocs_vote_type_tournament():
         (p.performance for p in perfs if p.method_name.startswith("TextFuzzy")), default=0.0
     )
     assert best > fuzzy_best
+
+
+# ---------------------------------------------------------------------------
+# segment selector on the reference's OWN committed labeled fixture
+# ---------------------------------------------------------------------------
+
+REF_XML = Path(
+    "/root/reference/src/trainable_entity_extractor/tests/test_files/test.xml"
+)
+
+
+def test_full_segment_selector_on_reference_test_xml():
+    """Replicates the reference's TestSegmentSelector.test_set_extraction_segments
+    (tests/unit_tests/extractors/segment_selector/test_segment_selector.py:87-100)
+    end-to-end on the reference's committed test.xml: label the segment
+    under the SegmentBox(left=400, top=115, width=74, height=9, page 1),
+    train the selector on that single labeled document, and assert it
+    selects exactly the 'Original: English' segment.
+
+    NOTE on coverage: this is the ONLY labeled segment-selector data
+    committed in the reference tree. The P/R tables in the reference's
+    performance_results/segment_selector.md come from corpora that are
+    NOT committed (checked: no adapters/extractors/segment_selector/
+    labeled_data exists), so this parity check plus the synthetic P/R
+    gate in test_segment_selector_full.py is the strongest reproducible
+    evidence available."""
+    from trainable_entity_extractor_spark.methods.segment_selector_full import (
+        FullSegmentSelector,
+    )
+    from trainable_entity_extractor_spark.sources.poppler_xml import (
+        merge_same_word_tokens,
+        parse_tokens,
+    )
+
+    if not REF_XML.exists():
+        pytest.skip("reference test.xml not mounted")
+
+    # line-level segments, like the reference's PdfData with no
+    # xml_segments_boxes (each merged token line is its own segment)
+    toks = merge_same_word_tokens(parse_tokens(REF_XML.read_bytes()))
+    label_box = (400.0, 115.0, 74.0, 9.0)  # the reference test's SegmentBox
+
+    def overlaps(s):
+        l, t, w, h = label_box
+        ix = max(0.0, min(l + w, s["left"] + s["width"]) - max(l, s["left"]))
+        iy = max(0.0, min(t + h, s["top"] + s["height"]) - max(t, s["top"]))
+        return s["page"] == 1 and ix * iy > 0
+
+    doc = [
+        {
+            "seg_idx": i,
+            "page": t["page"],
+            "left": float(t["left"]),
+            "top": float(t["top"]),
+            "width": float(t["width"]),
+            "height": float(t["height"]),
+            "seg_type": "TEXT",
+            "text": (t["text"] or "").strip(),
+            "ml_label": 1 if overlaps(t) else 0,
+        }
+        for i, t in enumerate(toks)
+    ]
+    assert sum(s["ml_label"] for s in doc) == 1  # exactly one labeled line
+
+    selector = FullSegmentSelector()
+    artifact = selector.fit([doc])
+    picked = selector.select([dict(s, ml_label=0) for s in doc], artifact)
+    assert [s["text"] for s in picked] == ["Original: English"]

@@ -359,6 +359,24 @@ def sample_frames(
     return assets.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def synth_png_assets(spark, n: int, seed: int = 42, dup_every: int = 5) -> DataFrame:
+    """Deterministic table of REAL PNG blobs (decodable by `_png_decode`),
+    with every `dup_every`-th asset repeating the pixels of the previous
+    one under a different wire encoding (refiltered) — so perceptual-hash
+    dedup has true positives that byte-level hashing misses.
+
+    Generation is driver-side (n is test/bench scale); pixel content is a
+    pure function of (seed, effective_id), no RNG state."""
+    rows = []
+    for i in range(n):
+        eff = i - 1 if (dup_every and i % dup_every == 0 and i > 0) else i
+        idx = np.arange(12 * 16 * 3, dtype=np.int64)
+        pix = ((idx * 2654435761 + (seed * 1000003 + eff) * 97) % 251).reshape(12, 16, 3)
+        ftype = 2 if eff != i else 0  # duplicates get a different filter
+        rows.append((f"img/{i}", bytearray(encode_png(pix.astype(np.uint8), ftype))))
+    return spark.createDataFrame(rows, "asset_id string, blob binary")
+
+
 def synth_assets(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic binary asset table for tests/bench (content = hashed
     id bytes, no external data)."""

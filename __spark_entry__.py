@@ -501,6 +501,49 @@ def q_char_budget_both_ends(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """dedup: embedding-cosine near-duplicate pairs with sign-LSH blocking
+    (task-brief 'embedding-cosine near-dup' slot, oracle-checkable form).
+
+    Blocking: a 4-bit deterministic hyperplane signature from fixed
+    axis-difference planes (bit k = v[k] > v[k+32]) — a valid random-
+    hyperplane LSH family that both Spark and DuckDB can compute exactly.
+    Pairs are generated ONLY within a bucket (never all-pairs: the
+    self-join is keyed on the bucket, the same shape as kg/linking), then
+    scored with exact cosine. Norms are precomputed per side so the
+    per-pair work is one dot product. The production-scale variants with
+    murmur3 hyperplanes / multiprobe / IVF live in operators/similarity.py
+    (pytest-gated); this entry pins the blocking+scoring semantics to a
+    DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = sum(
+        (F.element_at("v", k + 1) > F.element_at("v", k + 33)).cast("int") * (1 << k)
+        for k in range(4)
+    )
+    dot_self = F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = (
+        e.select("vec_id", v.alias("v"))
+        .withColumn("bucket", bucket)
+        .withColumn("norm", F.sqrt(dot_self))
+    )
+    a = base.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "bucket", F.col("norm").alias("na"))
+    b = base.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "bucket", F.col("norm").alias("nb"))
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", (dot_ab / (F.col("na") * F.col("nb"))).alias("_cos"))
+        .filter(F.col("_cos") >= 0.4)
+        .select("a", "b", F.round("_cos", 4).alias("cosine"))
+        .orderBy("a", "b")
+    )
+
+
 def q_phash_dedup(spark, sf_dir):
     """multimodal: perceptual-hash duplicate buckets over REAL PNG blobs
     (from-scratch zlib+numpy decode, operators/multimodal.py). The asset
@@ -551,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "char_budget_both_ends": q_char_budget_both_ends,
         "phash_dedup": q_phash_dedup,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -869,6 +913,26 @@ def _oracle_sql_base() -> dict[str, str]:
                    sum(back::INT)::BIGINT AS n_back,
                    sum(n_chars)::BIGINT AS chars_used
             FROM f4 WHERE front OR back GROUP BY lang ORDER BY lang
+        """,
+        "embedding_near_dup": """
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings
+            ), e AS (
+                SELECT vec_id, v,
+                       ((v[1] > v[33])::INT
+                      + ((v[2] > v[34])::INT * 2)
+                      + ((v[3] > v[35])::INT * 4)
+                      + ((v[4] > v[36])::INT * 8)) AS bucket,
+                       sqrt(list_dot_product(v, v)) AS nrm
+                FROM base
+            )
+            SELECT a, b, round(cos_ab, 4) AS cosine FROM (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos_ab
+                FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+            WHERE cos_ab >= 0.4
+            ORDER BY a, b
         """,
         "connected_components": """
             WITH RECURSIVE

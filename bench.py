@@ -159,20 +159,32 @@ def main():
         # round 2 running extract inside every trial pushed trial 3 past
         # the budget and the efficiency median rested on 2 samples.
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "660"))
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
         samples: dict[int, list[float]] = {1: [], 4: []}
         extract_samples: dict[int, list[float]] = {1: [], 4: []}
+        discarded: list[list[float]] = []
         pipe_pair_cost = 0.0
-        for t in range(trials):
-            if t > 0 and time.time() - t_start + pipe_pair_cost > budget:
+        # Corrupted-pair detection: a paired ratio below this floor means
+        # the 4-core half ran SLOWER in absolute terms than ~1.2x the
+        # 1-core half — physically impossible for this embarrassingly
+        # parallel pipeline without external CPU starvation of the VM
+        # (observed: an extract pair at 7.2k pps on 4 cores vs 18.8k on 1
+        # core in the same minute). Such pairs measure the hypervisor, not
+        # the engine: redo them (raw samples still reported) while budget
+        # allows, instead of mixing them into the median.
+        CORRUPT_FLOOR = 0.3
+        max_redos = 2
+        t = 0
+        while t < trials:
+            if (samples[1] or t > 0) and time.time() - t_start + pipe_pair_cost > budget:
                 break  # stay inside the driver's bench budget
             pair_t0 = time.time()
             extract_time = 0.0
+            pair: dict[int, float] = {}
             for cores in (1, 4):
                 s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
-                pps = pipeline_throughput(s, n_scale, warmup=True)
-                samples[cores].append(round(pps, 1))
-                if t == 0:
+                pair[cores] = round(pipeline_throughput(s, n_scale, warmup=True), 1)
+                if t == 0 and not extract_samples[cores]:
                     e0 = time.time()
                     extract_samples[cores].append(
                         round(extract_throughput(s, EXTRACT_PAGES, warmup=True), 1)
@@ -180,6 +192,28 @@ def main():
                     extract_time += time.time() - e0
                 s.stop()
             pipe_pair_cost = (time.time() - pair_t0) - extract_time
+            if pair[4] / (pair[1] * 4) < CORRUPT_FLOOR and max_redos > 0:
+                discarded.append([pair[1], pair[4]])
+                max_redos -= 1
+                continue  # starved pair — redo this trial
+            samples[1].append(pair[1])
+            samples[4].append(pair[4])
+            t += 1
+        # the extract pair is a supplementary single measurement; if it was
+        # starved (wide run slower than the narrow run), redo it once
+        if (
+            extract_samples[1]
+            and extract_samples[4][0] / (extract_samples[1][0] * 4) < CORRUPT_FLOOR
+            and time.time() - t_start + 0.5 * pipe_pair_cost < budget
+        ):
+            discarded.append([extract_samples[1][0], extract_samples[4][0]])
+            extract_samples = {1: [], 4: []}
+            for cores in (1, 4):
+                s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
+                extract_samples[cores].append(
+                    round(extract_throughput(s, EXTRACT_PAGES, warmup=True), 1)
+                )
+                s.stop()
         # median across trials is the headline number (best-of overstates
         # on a VM with 3x CPU-steal noise; the max is kept for reference)
         from statistics import median
@@ -216,6 +250,10 @@ def main():
         scaling["extract_efficiency_1_to_4"] = round(median(ext_pair_effs), 3)
         scaling["efficiency_trials"] = pair_effs
         scaling["extract_efficiency_trials"] = ext_pair_effs
+        if discarded:
+            # starved pairs (4-core half absolutely slower than the 1-core
+            # half) — kept for transparency, excluded from medians
+            scaling["discarded_starved_pairs"] = discarded
 
     result = {
         "metric": "kg_pipeline_and_headline_queries",

@@ -132,6 +132,70 @@ def extract_throughput(spark, n_pages: int, seed: int = 42, warmup: bool = True)
     return run(ensure_pages_parquet(spark, n_pages, seed), n_pages)
 
 
+def _spin_kernel(n: int) -> float:
+    """Cache-resident integer mixing — pure-CPU, no DRAM pressure."""
+    import numpy as np
+
+    x = np.arange(1 << 14, dtype=np.int64)
+    t0 = time.time()
+    with np.errstate(over="ignore"):
+        for _ in range(n):
+            x = x * np.int64(6364136223846793005) + np.int64(1442695040888963407)
+            np.bitwise_xor(x, x >> 13, out=x)
+    return time.time() - t0
+
+
+def _stream_kernel(n: int) -> float:
+    """DRAM-streaming: reads+writes 512 MB per iteration."""
+    import numpy as np
+
+    a = np.empty(1 << 25, dtype=np.int64)
+    a[:] = 1
+    b = np.empty_like(a)
+    t0 = time.time()
+    for _ in range(n):
+        np.add(a, 1, out=b)
+        np.add(b, 1, out=a)
+    return time.time() - t0
+
+
+def _calib_worker(kind: str, n: int):
+    (_spin_kernel if kind == "cpu" else _stream_kernel)(n)
+
+
+def host_scaling_ceilings(spin_n: int = 400, mem_n: int = 4) -> dict:
+    """Measure what THIS HOST can give a 1-proc vs 4-proc embarrassingly
+    parallel job, for (a) cache-resident CPU work and (b) DRAM-streaming
+    work — independent of Spark and of this engine.
+
+    Why it's published next to the pipeline efficiency: the sandbox's
+    two-cluster-size stand-in shares ONE memory bus across all "executor"
+    threads, and measured forensics show the bus ceiling collapsing to
+    0.11-0.24 scaling efficiency in co-tenant-heavy windows while the CPU
+    ceiling stays ~1.0 (identical 1-proc streaming workloads swing 5x
+    between minutes). A real N->4N executor cluster multiplies buses; a
+    paired-trial median cannot cancel interference that scales WITH
+    thread count, so the honest report is: engine efficiency alongside
+    the host's simultaneously-measured ceilings."""
+    import multiprocessing as mp
+
+    out = {}
+    for kind, n in (("cpu", spin_n), ("membw", mem_n)):
+        rates = {}
+        for procs in (1, 4):
+            ps = [
+                mp.Process(target=_calib_worker, args=(kind, n)) for _ in range(procs)
+            ]
+            t0 = time.time()
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            rates[procs] = procs * n / (time.time() - t0)
+        out[f"host_{kind}_calib_eff"] = round(min(rates[4] / (4 * rates[1]), 1.0), 3)
+    return out
+
+
 def main():
     t_start = time.time()
 
@@ -174,10 +238,13 @@ def main():
         # allows, instead of mixing them into the median.
         CORRUPT_FLOOR = 0.3
         max_redos = 2
+        calib_trials: list[dict] = []
         t = 0
         while t < trials:
             if (samples[1] or t > 0) and time.time() - t_start + pipe_pair_cost > budget:
                 break  # stay inside the driver's bench budget
+            # host ceilings measured adjacent to the pair they annotate
+            calib_trials.append(host_scaling_ceilings())
             pair_t0 = time.time()
             extract_time = 0.0
             pair: dict[int, float] = {}
@@ -254,6 +321,19 @@ def main():
             # starved pairs (4-core half absolutely slower than the 1-core
             # half) — kept for transparency, excluded from medians
             scaling["discarded_starved_pairs"] = discarded
+        if calib_trials:
+            for k in ("host_cpu_calib_eff", "host_membw_calib_eff"):
+                vals = [c[k] for c in calib_trials]
+                scaling[k] = round(median(vals), 3)
+                scaling[f"{k}_trials"] = vals
+            # the engine's efficiency normalized by what the host gave an
+            # EMBARRASSINGLY PARALLEL process-level job in the same
+            # minutes (upper-bounds exogenous interference; raw numbers
+            # above remain the primary evidence)
+            ceiling = max(scaling["host_membw_calib_eff"], 1e-6)
+            scaling["efficiency_vs_membw_ceiling"] = round(
+                min(scaling["efficiency_1_to_4"] / ceiling, 1.0), 3
+            )
 
     result = {
         "metric": "kg_pipeline_and_headline_queries",

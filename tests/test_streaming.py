@@ -71,3 +71,76 @@ def test_stateful_first_seen_across_micro_batches(spark, tmp_path):
     assert set(rows) == {"a", "b", "c", "d"}
     # b and c keep their FIRST payloads; later duplicates suppressed
     assert rows["b"] == 2 and rows["c"] == 3 and rows["d"] == 4
+
+
+def test_watermarked_windowed_counts_drop_late_data(spark, tmp_path):
+    """Watermark semantics end-to-end across three micro-batches:
+    - batch 1: events inside window W1 [00:00, 00:10)
+    - batch 2: an event at 01:00 — advances the watermark to 00:40,
+      which closes W1 (it lands in the sink after this batch)
+    - batch 3: a LATE event targeting W1 (must be dropped by the state
+      store, NOT added) plus an event at 02:00 that finalizes the 01:00
+      window.
+    Output must hold W1 with the on-time count only, and the 01:00
+    window; the 02:00 window never finalizes (watermark never passes it)
+    so append mode never emits it."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from trainable_entity_extractor_spark.streaming.micro_batch import (
+        stream_windowed_counts,
+    )
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def mk(ts_minutes, labels):
+        return pd.DataFrame(
+            {
+                "ts": [t0 + pd.Timedelta(minutes=m) for m in ts_minutes],
+                "label": labels,
+            }
+        )
+
+    # NOTE the extra batch: Spark commits an advanced watermark one batch
+    # AFTER the advancing event's batch (observed on 4.1 — the filter in
+    # batch N uses the watermark committed from batch N-2's stats), so W1
+    # closes during the 01:05 batch and the late row arrives strictly
+    # after both the input-filter watermark (00:40) and W1's eviction.
+    batches = [
+        mk([1, 2, 7], ["x", "x", "y"]),   # W1: x=2, y=1
+        mk([60], ["x"]),                   # advances watermark to 00:40
+        mk([65], ["x"]),                   # watermark takes effect; W1 emits
+        mk([3, 120], ["x", "y"]),          # late W1 event (dropped) + 02:00
+    ]
+    flat = tmp_path / "events"
+    flat.mkdir()
+    base = _time.time() - 1000
+    for i, pdf in enumerate(batches):
+        sub = tmp_path / f"b{i}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(sub))
+        import shutil
+
+        for f in sub.glob("*.parquet"):
+            dest = flat / f"part-{i}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (base + i, base + i))
+
+    q = stream_windowed_counts(
+        spark, str(flat), str(tmp_path / "out"), str(tmp_path / "ckpt_w")
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {
+        (r["window_start"].strftime("%H:%M"), r["label"]): r["n"] for r in out.collect()
+    }
+    # W1 finalized with ON-TIME counts only — the late x@00:03 was dropped
+    assert rows[("00:00", "x")] == 2
+    assert rows[("00:00", "y")] == 1
+    # the [01:00,01:10) window (x@01:00 + x@01:05) finalized by 02:00
+    assert rows[("01:00", "x")] == 2
+    # the 02:00 window never emitted (watermark never passed its end)
+    assert ("02:00", "y") not in rows
+    assert len(rows) == 3

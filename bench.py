@@ -24,9 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-SCALE_PAGES = 400000  # large enough that Spark's ~0.4s/job serial
-# scheduling floor (~20 jobs/run) stays under a few percent of the
-# narrow-width run — Amdahl housekeeping, not pipeline work
+SCALE_PAGES = 320000  # large enough that Spark's ~0.4s/job serial
+# scheduling floor (~15 jobs/run) stays under a few percent of the
+# narrow-width run (serial floor is ~4-6s after the round-3 union-find
+# rework vs a ~90s local[1] run) — sized down from 400k so all three
+# paired trials reliably fit the bench budget even in degraded windows
 EXTRACT_PAGES = int(os.environ.get("SPARK_GRAFT_EXTRACT_PAGES", "400000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
@@ -244,21 +246,14 @@ def main():
             if (samples[1] or t > 0) and time.time() - t_start + pipe_pair_cost > budget:
                 break  # stay inside the driver's bench budget
             # host ceilings measured adjacent to the pair they annotate
-            calib_trials.append(host_scaling_ceilings())
+            calib_trials.append(host_scaling_ceilings(spin_n=300, mem_n=3))
             pair_t0 = time.time()
-            extract_time = 0.0
             pair: dict[int, float] = {}
             for cores in (1, 4):
                 s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
                 pair[cores] = round(pipeline_throughput(s, n_scale, warmup=True), 1)
-                if t == 0 and not extract_samples[cores]:
-                    e0 = time.time()
-                    extract_samples[cores].append(
-                        round(extract_throughput(s, EXTRACT_PAGES, warmup=True), 1)
-                    )
-                    extract_time += time.time() - e0
                 s.stop()
-            pipe_pair_cost = (time.time() - pair_t0) - extract_time
+            pipe_pair_cost = time.time() - pair_t0
             if pair[4] / (pair[1] * 4) < CORRUPT_FLOOR and max_redos > 0:
                 discarded.append([pair[1], pair[4]])
                 max_redos -= 1
@@ -266,15 +261,10 @@ def main():
             samples[1].append(pair[1])
             samples[4].append(pair[4])
             t += 1
-        # the extract pair is a supplementary single measurement; if it was
-        # starved (wide run slower than the narrow run), redo it once
-        if (
-            extract_samples[1]
-            and extract_samples[4][0] / (extract_samples[1][0] * 4) < CORRUPT_FLOOR
-            and time.time() - t_start + 0.5 * pipe_pair_cost < budget
-        ):
-            discarded.append([extract_samples[1][0], extract_samples[4][0]])
-            extract_samples = {1: [], 4: []}
+        # supplementary extract-only pairing AFTER the headline pipeline
+        # trials (they have budget priority); skipped in windows where the
+        # pipeline trials consumed the budget
+        if time.time() - t_start + 0.5 * pipe_pair_cost + 15 < budget:
             for cores in (1, 4):
                 s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
                 extract_samples[cores].append(
@@ -307,16 +297,17 @@ def main():
         scaling["efficiency_ratio_of_medians"] = round(
             scaling["local[4]"] / (scaling["local[1]"] * 4), 3
         )
-        scaling["extract_local[1]"] = round(median(extract_samples[1]), 1)
-        scaling["extract_local[4]"] = round(median(extract_samples[4]), 1)
-        scaling["extract_pages"] = EXTRACT_PAGES
-        ext_pair_effs = [
-            round(min(s4 / (s1 * 4), 1.0), 3)
-            for s1, s4 in zip(extract_samples[1], extract_samples[4])
-        ]
-        scaling["extract_efficiency_1_to_4"] = round(median(ext_pair_effs), 3)
+        if extract_samples[1]:
+            scaling["extract_local[1]"] = round(median(extract_samples[1]), 1)
+            scaling["extract_local[4]"] = round(median(extract_samples[4]), 1)
+            scaling["extract_pages"] = EXTRACT_PAGES
+            ext_pair_effs = [
+                round(min(s4 / (s1 * 4), 1.0), 3)
+                for s1, s4 in zip(extract_samples[1], extract_samples[4])
+            ]
+            scaling["extract_efficiency_1_to_4"] = round(median(ext_pair_effs), 3)
+            scaling["extract_efficiency_trials"] = ext_pair_effs
         scaling["efficiency_trials"] = pair_effs
-        scaling["extract_efficiency_trials"] = ext_pair_effs
         if discarded:
             # starved pairs (4-core half absolutely slower than the 1-core
             # half) — kept for transparency, excluded from medians

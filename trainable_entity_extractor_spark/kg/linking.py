@@ -178,7 +178,13 @@ def minhash_signatures(
     """mentions → (mention_id, norm, sig array<long>[n_perms]).
 
     Map-only (no shuffle): Arrow-batched pandas UDF running the numpy
-    MinHash kernel."""
+    MinHash kernel. The kernel only ever reads the first `max_chars`
+    NORMALIZED characters, so normalization + truncation happen JVM-side
+    (codegen) and Arrow ships <=max_chars bytes per mention instead of the
+    full paragraph-sized surface form — at crawl scale that is the
+    difference between streaming fingerprints and streaming the corpus
+    into Python. The kernel's own normalization is idempotent on this
+    pre-normalized input, so signatures are unchanged."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -188,10 +194,11 @@ def minhash_signatures(
     _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     sig_udf = F.pandas_udf(_sig, T.ArrayType(T.LongType()))
 
+    prenorm = F.substring(normalize_mention(F.col(text_col)), 1, max_chars)
     return mentions.select(
         F.col(id_col).alias("mention_id"),
         normalize_mention(F.col(text_col)).alias("norm"),
-        sig_udf(F.col(text_col)).alias("sig"),
+        sig_udf(prenorm).alias("sig"),
     )
 
 

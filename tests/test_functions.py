@@ -148,3 +148,49 @@ def test_truecaser_learns_context_dependent_casing():
     import json
 
     assert json.dumps(model, sort_keys=True) == json.dumps(fit_truecaser(corpus), sort_keys=True)
+
+
+# ------------------------------------------------ O7 artifact hygiene
+
+
+def test_artifact_folder_hygiene(tmp_path):
+    """O7: stale-dir detection, fresh-folder wipe, and the idempotent
+    stale sweep (reference ExtractionIdentifier.is_old 2-day window +
+    LocalJobExecutor.ensure_fresh_model_folder 1-hour window)."""
+    import os
+    import time
+
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionIdentifier,
+        clean_stale_extractions,
+    )
+
+    base = str(tmp_path)
+    old = ExtractionIdentifier("old_task", "tenant", base)
+    fresh = ExtractionIdentifier("fresh_task", "tenant", base)
+    old_p = old.get_path()
+    fresh_p = fresh.get_path()
+    old_p.mkdir(parents=True)
+    fresh_p.mkdir(parents=True)
+    (old_p / "model.json").write_text("{}")
+    stale_t = time.time() - 3 * 24 * 3600
+    os.utime(old_p, (stale_t, stale_t))
+
+    assert old.is_old() and not fresh.is_old()
+
+    # ensure_fresh_folder wipes a >1h-old dir, keeps a recent one
+    hour_old = time.time() - 2 * 3600
+    os.utime(old_p, (hour_old, hour_old))
+    assert (old_p / "model.json").exists()
+    old.ensure_fresh_folder()
+    assert old_p.exists() and not (old_p / "model.json").exists()
+    (fresh_p / "keep.json").write_text("{}")
+    fresh.ensure_fresh_folder()
+    assert (fresh_p / "keep.json").exists()
+
+    # sweep removes only the stale extraction dir
+    os.utime(old_p, (stale_t, stale_t))
+    removed = clean_stale_extractions(base)
+    assert removed == [str(old_p)]
+    assert not old_p.exists() and fresh_p.exists()
+    assert clean_stale_extractions(base) == []  # idempotent

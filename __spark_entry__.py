@@ -544,6 +544,47 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_spatial_assign(spark, sf_dir):
+    """J3/F1 spatial box-overlap join on the driver gate: tokens derived
+    deterministically from lineitem are assigned to the first grid region
+    covering >50% of the token (operators/geometry.py
+    assign_tokens_to_regions — broadcast region dim, codegen arithmetic
+    predicates, no spatial index needed at per-document region counts).
+    Unassigned tokens keep region -1."""
+    from trainable_entity_extractor_spark.operators.geometry import (
+        assign_tokens_to_regions,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    tokens = li.select(
+        F.col("l_orderkey").alias("url"),
+        F.lit(1).alias("page"),
+        ((F.col("l_partkey") % 50) * 10.0).alias("left"),
+        ((F.col("l_suppkey") % 40) * 10.0).alias("top"),
+        F.lit(12.0).alias("width"),
+        F.lit(8.0).alias("height"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    grid = spark.range(20).select(
+        F.col("id").alias("region_id"),
+        ((F.col("id") % 5) * 100.0).alias("left"),
+        (F.floor(F.col("id") / 5) * 100.0).alias("top"),
+        F.lit(100.0).alias("width"),
+        F.lit(100.0).alias("height"),
+        F.lit(1).alias("page"),
+    )
+    regions = (
+        tokens.select("url").distinct().crossJoin(grid)
+    )  # per-document region dimension, broadcast inside the operator
+    assigned = assign_tokens_to_regions(tokens, regions)
+    return (
+        assigned.groupBy(F.coalesce("region_id", F.lit(-1)).alias("region_id"))
+        .agg(F.count("*").alias("n_tokens"))
+        .orderBy("region_id")
+    )
+
+
 def q_phash_dedup(spark, sf_dir):
     """multimodal: perceptual-hash duplicate buckets over REAL PNG blobs
     (from-scratch zlib+numpy decode, operators/multimodal.py). The asset
@@ -595,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_budget_both_ends": q_char_budget_both_ends,
         "phash_dedup": q_phash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
+        "spatial_assign": q_spatial_assign,
     }
 
 
@@ -913,6 +955,36 @@ def _oracle_sql_base() -> dict[str, str]:
                    sum(back::INT)::BIGINT AS n_back,
                    sum(n_chars)::BIGINT AS chars_used
             FROM f4 WHERE front OR back GROUP BY lang ORDER BY lang
+        """,
+        "spatial_assign": """
+            WITH tok AS (
+                SELECT l_orderkey, l_linenumber,
+                       (l_partkey % 50) * 10.0 AS tl,
+                       (l_suppkey % 40) * 10.0 AS tt,
+                       12.0 AS tw, 8.0 AS th
+                FROM lineitem WHERE l_orderkey < 2000
+            ), grid AS (
+                SELECT r AS region_id,
+                       (r % 5) * 100.0 AS gl, (r // 5) * 100.0 AS gt,
+                       100.0 AS gw, 100.0 AS gh
+                FROM (SELECT unnest(range(20)) AS r)
+            ), assigned AS (
+                -- group by the FULL token identity (all attributes), like
+                -- the Spark side's groupBy over every token column:
+                -- (l_orderkey, l_linenumber) is NOT unique in the
+                -- synthetic lineitem
+                SELECT t.l_orderkey, t.l_linenumber, t.tl, t.tt,
+                       min(g.region_id) AS region_id
+                FROM tok t LEFT JOIN grid g
+                  ON 100.0
+                     * greatest(least(t.tl + t.tw, g.gl + g.gw) - greatest(t.tl, g.gl), 0)
+                     * greatest(least(t.tt + t.th, g.gt + g.gh) - greatest(t.tt, g.gt), 0)
+                     / greatest(t.tw * t.th, 1e-9) > 50.0
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT coalesce(region_id, -1) AS region_id,
+                   count(*) AS n_tokens
+            FROM assigned GROUP BY 1 ORDER BY region_id
         """,
         "embedding_near_dup": """
             WITH base AS (

@@ -511,10 +511,18 @@ def q_embedding_near_dup(spark, sf_dir):
     Pairs are generated ONLY within a bucket (never all-pairs: the
     self-join is keyed on the bucket, the same shape as kg/linking), then
     scored with exact cosine. Norms are precomputed per side so the
-    per-pair work is one dot product. The production-scale variants with
-    murmur3 hyperplanes / multiprobe / IVF live in operators/similarity.py
-    (pytest-gated); this entry pins the blocking+scoring semantics to a
-    DuckDB oracle."""
+    per-pair work is one dot product.
+
+    SIZING RULE (do not lift this entry form to scale as-is): the bucket
+    space here is FIXED at 4 bits = 16 buckets, so candidate pairs grow
+    O(n²/16) — quadratic in corpus size. At scale the number of
+    hyperplane bits must grow with log2(n) (e.g. ~log2(n/target_bucket_
+    size) bits keeps expected bucket size — and therefore per-bucket
+    pair work — constant), plus multiprobe to buy recall back. This
+    4-bit form exists because it is the largest bucket space a DuckDB
+    oracle can reproduce exactly on the sf0.01 gate; the production-scale
+    variants with murmur3 hyperplanes / multiprobe / IVF partition
+    pruning live in operators/similarity.py (pytest-gated)."""
     e = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     bucket = sum(
@@ -548,9 +556,10 @@ def q_spatial_assign(spark, sf_dir):
     """J3/F1 spatial box-overlap join on the driver gate: tokens derived
     deterministically from lineitem are assigned to the first grid region
     covering >50% of the token (operators/geometry.py
-    assign_tokens_to_regions — broadcast region dim, codegen arithmetic
-    predicates, no spatial index needed at per-document region counts).
-    Unassigned tokens keep region -1."""
+    assign_tokens_to_regions — (doc, page) equi-join left to Catalyst/AQE,
+    codegen arithmetic predicates, no spatial index needed at per-document
+    region counts; regions is corpus-proportional so it is never
+    broadcast-hinted). Unassigned tokens keep region -1."""
     from trainable_entity_extractor_spark.operators.geometry import (
         assign_tokens_to_regions,
     )
@@ -576,7 +585,7 @@ def q_spatial_assign(spark, sf_dir):
     )
     regions = (
         tokens.select("url").distinct().crossJoin(grid)
-    )  # per-document region dimension, broadcast inside the operator
+    )  # per-document region dimension; join strategy left to AQE
     assigned = assign_tokens_to_regions(tokens, regions)
     return (
         assigned.groupBy(F.coalesce("region_id", F.lit(-1)).alias("region_id"))

@@ -117,3 +117,38 @@ def test_image_features_uses_real_pixels_for_png(spark):
     # 4x4 grayscale means: dark image ~10/255, bright ~250/255
     assert all(abs(v - 10 / 255) < 1e-6 for v in rows["dark"]["feature"][:16])
     assert all(abs(v - 250 / 255) < 1e-6 for v in rows["bright"]["feature"][:16])
+
+
+def test_corrupt_png_degrades_not_crashes(spark):
+    """Malformed PNG-signed payloads (corrupt IDAT, short IHDR) must yield
+    a null phash / fall back to the deterministic fake — not kill the
+    Spark job with an uncaught zlib.error/struct.error (r3 ADVICE)."""
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from trainable_entity_extractor_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_image,
+        encode_png,
+        image_phash,
+    )
+
+    idx = np.arange(8 * 8 * 3, dtype=np.int64)
+    good = encode_png(((idx * 31) % 251).reshape(8, 8, 3).astype(np.uint8))
+    corrupt_idat = bytearray(good)
+    corrupt_idat[60] ^= 0xFF  # flip a byte inside the IDAT stream
+    short_ihdr = bytes(_PNG_SIG) + b"\x00\x00\x00\x05IHDR" + b"abcde" + b"\x00" * 4
+
+    for bad in (bytes(corrupt_idat), short_ihdr):
+        with _pytest.raises(ValueError):  # never zlib.error/struct.error
+            decode_image(bad, deterministic_fake=False)
+        assert decode_image(bad, deterministic_fake=True)["format"] == "fake"
+
+    assets = spark.createDataFrame(
+        [("ok", bytearray(good)), ("bad1", corrupt_idat), ("bad2", bytearray(short_ihdr))],
+        "asset_id string, blob binary",
+    )
+    rows = {r["asset_id"]: r["phash"] for r in image_phash(assets).collect()}
+    assert rows["ok"] is not None
+    assert rows["bad1"] is None and rows["bad2"] is None

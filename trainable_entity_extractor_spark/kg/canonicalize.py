@@ -13,11 +13,38 @@ forms) are bounded upstream by the LSH block cap.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _driver_union_find(spark, pdf) -> DataFrame:
+def _scratch_dir(spark) -> str:
+    """Root dir for driver→executor parquet handoffs.
+
+    Resolution order: `spark.tee.scratch.dir` conf → the session's
+    checkpoint dir → the driver's tempdir. The last fallback works in
+    LOCAL MODE ONLY (executors share the driver's filesystem); on a real
+    multi-node cluster set `spark.tee.scratch.dir` (or a checkpoint dir)
+    to shared storage — an executor cannot read the driver's /tmp.
+    """
+    conf_dir = None
+    try:
+        conf_dir = spark.conf.get("spark.tee.scratch.dir")
+    except Exception:
+        conf_dir = None
+    if conf_dir:
+        return conf_dir
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt:
+        # strip an hdfs-style file: scheme for the local-write below
+        return ckpt[len("file:"):] if ckpt.startswith("file:") else ckpt
+    return tempfile.gettempdir()
+
+
+def _driver_union_find(spark, pdf, id_type: T.DataType) -> DataFrame:
     """Exact same contract as the distributed loop (component = min id),
     computed on the driver. Used below the size threshold where Spark's
     per-job latency would dominate; at cluster scale the distributed loop
@@ -38,9 +65,16 @@ def _driver_union_find(spark, pdf) -> DataFrame:
     import pandas as pd
 
     if len(pdf) == 0:
-        empty = pd.DataFrame({"id": pd.Series(dtype=pdf["u"].dtype)})
-        empty["component"] = empty["id"]
-        return spark.createDataFrame(empty)
+        # explicit schema: a zero-row pandas frame has object dtype and
+        # createDataFrame(empty_pdf) raises CANNOT_INFER_EMPTY_SCHEMA.
+        # The id/component types mirror the edges' endpoint column type.
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type, True),
+                T.StructField("component", id_type, True),
+            ]
+        )
+        return spark.createDataFrame([], schema=schema)
 
     both = pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
     codes, uniq = pd.factorize(both)
@@ -74,14 +108,20 @@ def _driver_union_find(spark, pdf) -> DataFrame:
     sorted_ids = uniq_arr[order]
     out = pd.DataFrame({"id": pd.Series(sorted_ids), "component": pd.Series(sorted_ids[label])})
 
-    import tempfile
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tmp = tempfile.mkdtemp(prefix="tee_uf_")
-    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{tmp}/part-0.parquet")
-    return spark.read.parquet(tmp)
+    # Handoff: parquet under a SHARED scratch dir (see _scratch_dir — the
+    # driver-local tempdir fallback is local-mode-only), eagerly
+    # localCheckpoint-ed into executor block storage so the file can be
+    # deleted immediately — no /tmp accumulation across calls, and the
+    # returned frame no longer depends on the scratch path.
+    tmp = tempfile.mkdtemp(prefix="tee_uf_", dir=_scratch_dir(spark))
+    try:
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{tmp}/part-0.parquet")
+        return spark.read.parquet(tmp).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def connected_components(
@@ -111,7 +151,7 @@ def connected_components(
     n_edges = 2 * edges.count()  # near-free: counts the stored checkpoint
     if n_edges <= driver_threshold:
         pdf = edges.toPandas()  # Arrow transfer — far cheaper than row collect
-        return _driver_union_find(spark, pdf)
+        return _driver_union_find(spark, pdf, edges.schema["u"].dataType)
 
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(width, n_edges // 50_000 + 1))

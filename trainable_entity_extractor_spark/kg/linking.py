@@ -183,8 +183,15 @@ def minhash_signatures(
     (codegen) and Arrow ships <=max_chars bytes per mention instead of the
     full paragraph-sized surface form — at crawl scale that is the
     difference between streaming fingerprints and streaming the corpus
-    into Python. The kernel's own normalization is idempotent on this
-    pre-normalized input, so signatures are unchanged."""
+    into Python. The kernel re-normalizes its input, which is idempotent
+    on this pre-normalized text in the common case; two documented edge
+    cases can differ bit-wise from the pre-r3 (Python-side) signatures:
+    a truncation boundary landing on a space (the kernel strips what the
+    JVM substring kept), and non-ASCII whitespace such as U+00A0 (Java
+    `\\s` does not match it, Python str.split() does). Signatures are
+    deterministic and self-consistent WITHIN a version — every consumer
+    (banding, scoring, oracle entries) derives from this one function —
+    so nothing persisted depends on cross-version bit-stability."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -345,12 +352,14 @@ def link_mentions_portable(
         .agg(F.collect_list("mid").alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= block_cap))
     )
-    members = blocks.select(
-        F.monotonically_increasing_id().alias("block_id"), "ids"
-    ).select("block_id", F.explode("ids").alias("m"))
+    # self-join keyed by the natural (band, key) block identity — NOT
+    # monotonically_increasing_id, whose values only agree across the two
+    # evaluation branches under a fixed partition layout (AQE/recompute
+    # can break that); same fix as lsh_candidate_pairs above.
+    members = blocks.select("band", "key", F.explode("ids").alias("m"))
     pairs = (
-        members.select("block_id", F.col("m").alias("a"))
-        .join(members.select("block_id", F.col("m").alias("b")), "block_id")
+        members.select("band", "key", F.col("m").alias("a"))
+        .join(members.select("band", "key", F.col("m").alias("b")), ["band", "key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()

@@ -4,9 +4,13 @@ Reference: pdf_features.Rectangle usage at domain/PdfData.py:27-50 (F1:
 token assigned to the first region on the same page whose box intersects
 >50% of the token) and domain/PdfDataSegment.py:28-41 (overlap
 predicates). Here geometry is plain struct arithmetic (least/greatest
-column exprs), and the spatial join is an equi-join on page plus interval
-predicates — Catalyst-native, no spatial index required at our region
-cardinalities (regions are a per-document dimension, broadcast)."""
+column exprs), and the spatial join is an equi-join on (doc, page) plus interval
+predicates — Catalyst-native, no spatial index required at per-document
+region counts. The regions side is NOT broadcast-hinted: it is a
+per-document dimension, so at crawl scale it grows WITH the corpus and a
+forced broadcast would OOM the driver; the (doc, page) equi-keys make a
+shuffle hash/sort-merge join the scale-safe default, and AQE still picks
+a broadcast at runtime whenever the regions side is actually small."""
 
 from __future__ import annotations
 
@@ -50,18 +54,20 @@ def assign_tokens_to_regions(
     """F1/J3: tokens(url, page, left, top, width, height, …) ×
     regions(url, page, region_id, left, top, width, height) — assign each
     token to the FIRST (lowest region_id) same-page region covering >50%
-    of the token. Broadcast the regions dimension; deterministic tie-break
-    via min(region_id)."""
-    r = F.broadcast(
-        regions.select(
-            F.col(doc_col).alias("_r_doc"),
-            F.col("page").alias("_r_page"),
-            "region_id",
-            F.col("left").alias("_r_left"),
-            F.col("top").alias("_r_top"),
-            F.col("width").alias("_r_width"),
-            F.col("height").alias("_r_height"),
-        )
+    of the token; deterministic tie-break via min(region_id).
+
+    Join strategy is left to Catalyst/AQE on the (doc, page) equi-keys:
+    regions is corpus-proportional (per-document dimension), so a forced
+    broadcast is a driver OOM at 100× scale; AQE broadcasts at runtime
+    when the built side is genuinely small and shuffles otherwise."""
+    r = regions.select(
+        F.col(doc_col).alias("_r_doc"),
+        F.col("page").alias("_r_page"),
+        "region_id",
+        F.col("left").alias("_r_left"),
+        F.col("top").alias("_r_top"),
+        F.col("width").alias("_r_width"),
+        F.col("height").alias("_r_height"),
     )
     pct = overlap_percentage(
         F.col("left"), F.col("top"), F.col("width"), F.col("height"),

@@ -92,9 +92,12 @@ def _png_decode(payload: bytes) -> tuple[np.ndarray, dict]:
         body = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + body + crc
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
+            try:
+                width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            except struct.error as e:  # short IHDR body
+                raise ValueError(f"truncated PNG IHDR: {e}") from e
             if bit_depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {bit_depth}")
             if interlace != 0:
@@ -108,7 +111,10 @@ def _png_decode(payload: bytes) -> tuple[np.ndarray, dict]:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:  # corrupt IDAT stream
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
     expected = height * (width * channels + 1)
     if raw.size != expected:
         raise ValueError(f"PNG data size {raw.size} != expected {expected}")
@@ -235,8 +241,14 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
     other formats need codecs absent from this container and either fall
     back to the deterministic fake or raise."""
     if (payload or b"").startswith(_PNG_SIG):
-        _, meta = _png_decode(payload)
-        return meta
+        try:
+            _, meta = _png_decode(payload)
+            return meta
+        except ValueError:
+            # corrupt/unsupported PNG-signed payload: degrade to the
+            # deterministic fake when allowed, as documented
+            if not deterministic_fake:
+                raise
     if not deterministic_fake:
         raise NotImplementedError(
             "non-PNG image decoding requires a media library not present in this environment"

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -599,10 +600,16 @@ def q_phash_dedup(spark, sf_dir):
     (from-scratch zlib+numpy decode, operators/multimodal.py). The asset
     table is synthesized deterministically (no external data); every 5th
     image repeats the previous one's pixels under a different wire
-    encoding, which byte-level dedup misses and pHash catches. No SQL
-    oracle exists for PNG decode — driver records the rows-only check;
-    pixel-exact decode + phash invariance are pytest-gated
-    (tests/test_multimodal.py)."""
+    encoding, which byte-level dedup misses and pHash catches.
+
+    Oracle: no SQL engine decodes PNG, so the oracle is an
+    EXECUTOR-VS-DRIVER PARITY check — `_phash_oracle_sql` recomputes the
+    expected pHashes with the same pure-Python codec in a driver-side
+    loop (no Spark), writes them to parquet, and DuckDB reproduces the
+    bucket aggregation over that file. Not codec-independent (pixel-exact
+    decode + phash invariance stay pytest-gated in
+    tests/test_multimodal.py), but it catches partition/Arrow
+    nondeterminism in the distributed decode path."""
     from trainable_entity_extractor_spark.operators.multimodal import (
         phash_duplicates,
         synth_png_assets,
@@ -1069,6 +1076,47 @@ def _embedding_dim(default: int = 64) -> int:
     return default
 
 
+def _phash_oracle_sql(n: int = 200, seed: int = 7) -> str | None:
+    """Executor-vs-driver parity oracle for phash_dedup: recompute the
+    expected (asset_id, phash) table with the SAME pure-Python codec in a
+    plain driver loop (no Spark, no Arrow, no partitioning), write it to
+    parquet, and have DuckDB reproduce the bucket aggregation over it.
+    Catches any partition-/batch-dependent nondeterminism in the
+    distributed mapInPandas decode; codec correctness itself is
+    pytest-gated (tests/test_multimodal.py)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from trainable_entity_extractor_spark.operators.multimodal import (
+            average_phash64,
+            decode_image_array,
+            synth_png_rows,
+        )
+
+        path = os.path.join(
+            tempfile.gettempdir(), f"tee_phash_oracle_n{n}_s{seed}.parquet"
+        )
+        ids, hashes = [], []
+        for aid, blob in synth_png_rows(n, seed):
+            ids.append(aid)
+            hashes.append(average_phash64(decode_image_array(blob)))
+        pq.write_table(
+            pa.table({"asset_id": pa.array(ids, pa.string()), "phash": pa.array(hashes, pa.int64())}),
+            path,
+        )
+        return f"""
+            SELECT phash, count(*)::BIGINT AS n_assets, min(asset_id) AS keep_id
+            FROM read_parquet('{path}')
+            GROUP BY phash HAVING count(*) > 1
+            ORDER BY phash
+        """
+    except Exception:
+        # if the aux parquet can't be produced, fall back to the driver's
+        # rows-only check rather than a guaranteed-failing oracle
+        return None
+
+
 def _finalize_oracles(d: dict) -> dict:
     out = {}
     for k, v in d.items():
@@ -1076,6 +1124,9 @@ def _finalize_oracles(d: dict) -> dict:
             out[k] = _label_centroid_sql(_embedding_dim())
         elif v is not None:
             out[k] = v
+    phash_sql = _phash_oracle_sql()
+    if phash_sql is not None:
+        out["phash_dedup"] = phash_sql
     return out
 
 

@@ -107,3 +107,107 @@ def test_align_documents_spark(spark):
     out = align_documents(main_df, other_df).toPandas()
     assert len(out) == 12  # 4 pairs x 3 docs
     assert (out["main_idx"] == out["other_idx"]).all()
+
+
+# ------------------------ fix_segments repair passes ----------------------
+
+from trainable_entity_extractor_spark.operators.alignment import (  # noqa: E402
+    fix_segments,
+    merge_paragraph_pair,
+    should_merge_paragraphs,
+    split_paragraph_at,
+)
+
+
+def _pars(texts):
+    return [paragraph_features({"text": t, "page": 1, "seg_type": "TEXT"}, i) for i, t in enumerate(texts)]
+
+
+def test_fix_segments_splits_swallowed_other_paragraph():
+    """Pass 1 (ParagraphsFromLanguage.fix_other_language_segmentation
+    :177-203): the other language swallowed two numbered main paragraphs
+    into one — the repair splits it at the unassigned main's separator
+    first word, and only then does alignment recover both pairs."""
+    main = _pars(
+        [
+            "1. The quick brown fox jumped over the lazy dog",
+            "2. The council approved the annual budget report",
+        ]
+    )
+    other = _pars(
+        [
+            "1. The quick brown fox jumped over the lazy dog "
+            "2. The council approved the annual budget report"
+        ]
+    )
+    # without repair: one of the two main paragraphs has no partner
+    assert len(align_paragraphs(main, other)) == 1
+
+    main2, other2, changed = fix_segments(main, other)
+    assert changed and len(other2) == 2
+    assert other2[0]["text"] == "1. The quick brown fox jumped over the lazy dog"
+    assert other2[1]["text"].startswith("2. The council")
+    matches = align_paragraphs(main2, other2)
+    assert [(mi, oi) for mi, oi, _ in matches] == [(0, 0), (1, 1)]
+
+
+def test_fix_segments_merges_broken_other_fragment():
+    """Pass 2 (:326-364): a fragment the other language's segmentation
+    broke off is merged back into its aligned neighbor."""
+    main = _pars(["The committee discussed the funding proposal at length"])
+    other = _pars(["The committee discussed the funding", "proposal at length"])
+    main2, other2, changed = fix_segments(main, other)
+    assert changed and len(other2) == 1
+    assert other2[0]["text"] == main[0]["text"]
+    assert len(align_paragraphs(main2, other2)) == 1
+
+
+def test_fix_segments_merges_split_main_paragraphs():
+    """Pass 3 (:366-399): the main language's segmentation split one
+    paragraph the other language kept whole — the mains are merged."""
+    main = _pars(["The ministers signed", "the historic peace agreement yesterday in Geneva"])
+    other = _pars(["The ministers signed the historic peace agreement yesterday in Geneva"])
+    main2, other2, changed = fix_segments(main, other)
+    assert changed and len(main2) == 1
+    assert main2[0]["text"] == other[0]["text"]
+    matches = align_paragraphs(main2, other2)
+    assert len(matches) == 1 and matches[0][2] > 0.99
+
+
+def test_split_paragraph_at_guards():
+    """split_paragraph (:204-231) refuses non-separators, repeated or
+    edge-positioned splitters."""
+    lst = _pars(["1. alpha beta 2. gamma delta"])
+    assert not split_paragraph_at(lst, "gamma", lst[0])  # not a separator
+    assert not split_paragraph_at(lst, "9.", lst[0])  # absent
+    twice = _pars(["2. alpha 2. beta end"])
+    assert not split_paragraph_at(twice, "2.", twice[0])  # occurs twice
+    edge = _pars(["2. starts with it"])
+    assert not split_paragraph_at(edge, "2.", edge[0])  # at the start
+    ok = _pars(["1. alpha beta 2. gamma delta"])
+    assert split_paragraph_at(ok, "2.", ok[0])
+    assert [p["text"] for p in ok] == ["1. alpha beta", "2. gamma delta"]
+
+
+def test_align_documents_repair_flag(spark):
+    """End-to-end through the Spark cogroup surface: the swallowed-
+    paragraph fixture only aligns 2 pairs WITH the repair passes."""
+    main_rows = [
+        {"url": "d1", "seg_idx": 0, "page": 1, "seg_type": "TEXT",
+         "text": "1. The quick brown fox jumped over the lazy dog"},
+        {"url": "d1", "seg_idx": 1, "page": 1, "seg_type": "TEXT",
+         "text": "2. The council approved the annual budget report"},
+    ]
+    other_rows = [
+        {"url": "d1", "seg_idx": 0, "page": 1, "seg_type": "TEXT",
+         "text": "1. The quick brown fox jumped over the lazy dog "
+                 "2. The council approved the annual budget report"},
+    ]
+    main_df = spark.createDataFrame(pd.DataFrame(main_rows))
+    other_df = spark.createDataFrame(pd.DataFrame(other_rows))
+    with_repair = align_documents(main_df, other_df).toPandas()
+    without = align_documents(main_df, other_df, repair=False).toPandas()
+    # without repair only 1 of 2 mains matches, which trips the
+    # same-document gate (50% is not > 50%) and drops the whole doc
+    assert len(with_repair) == 2 and len(without) == 0
+    assert with_repair.sort_values("main_idx")["other_text"].tolist()[1].startswith("2. The council")

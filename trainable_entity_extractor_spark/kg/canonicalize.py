@@ -130,6 +130,7 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 20,
     driver_threshold: int = 2_000_000,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """edges(a,b) → (id, component) where component = min id in component.
 
@@ -137,14 +138,21 @@ def connected_components(
     union-find (identical deterministic result, no iterative jobs); above
     it, hash-min label propagation — every vertex repeatedly adopts the
     min label among itself and its neighbors until fixpoint.
+
+    `pre_materialized=True` promises the caller already checkpointed /
+    cached `edges` (the pipeline does): the defensive checkpoint below is
+    skipped, removing one stored-block copy job from the serial floor —
+    at two cluster sizes that job costs the same wall-clock, so every
+    skipped fixed-latency job buys scaling efficiency directly.
     """
-    # checkpoint the EDGES before building the symmetric view: `sym` scans
-    # the edge set twice (u→v and v→u), and without materialization each
-    # scan would re-evaluate the whole upstream linking stage inside the
-    # same job. One linking evaluation, one stored (small) edge set.
-    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
+    edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if not pre_materialized:
+        # checkpoint the EDGES before building the symmetric view: `sym`
+        # scans the edge set twice (u→v and v→u), and without
+        # materialization each scan would re-evaluate the whole upstream
+        # linking stage inside the same job. One linking evaluation, one
+        # stored (small) edge set.
+        edges = edges.localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     spark = edges.sparkSession
@@ -220,18 +228,31 @@ def connected_components(
     return labels
 
 
-def canonical_entities(mentions: DataFrame, edges: DataFrame, id_col: str = "mention_id", text_col: str = "mention") -> DataFrame:
+def canonical_entities(
+    mentions: DataFrame,
+    edges: DataFrame,
+    id_col: str = "mention_id",
+    text_col: str = "mention",
+    pre_materialized: bool = False,
+) -> DataFrame:
     """mentions + edges → (mention_id, entity_id, canonical). Singleton
     mentions form their own entity; canonical surface form = the
     lexicographically smallest mention text in the component
-    (deterministic)."""
-    comps = connected_components(edges)
+    (deterministic).
+
+    The canonical form is a min-over-partition WINDOW, not a
+    groupBy+join-back: same result, ONE shuffle on entity_id instead of
+    two (agg exchange + join exchange) — at two cluster sizes the saved
+    exchange+AQE round is fixed latency that would otherwise sit in the
+    scaling serial floor, and at 100 TB it is a whole avoided shuffle of
+    the mention set."""
+    from pyspark.sql import Window
+
+    comps = connected_components(edges, pre_materialized=pre_materialized)
     assigned = mentions.join(
         comps.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn("entity_id", F.coalesce(F.col("component"), F.col(id_col)))
-
-    canon = assigned.groupBy("entity_id").agg(F.min(text_col).alias("canonical"))
-    return (
-        assigned.join(canon, "entity_id")
-        .select(id_col, "entity_id", text_col, "canonical")
+    w = Window.partitionBy("entity_id")
+    return assigned.select(
+        id_col, "entity_id", text_col, F.min(text_col).over(w).alias("canonical")
     )

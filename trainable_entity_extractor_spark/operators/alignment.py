@@ -314,11 +314,279 @@ def is_same_document(main: list[dict], matches: list[tuple[int, int, float]]) ->
     return 100 * len(matches) / len(main) > 50
 
 
+# ------------------------ segmentation repair (fix_segments) --------------
+#
+# Reference: ParagraphsFromLanguage.fix_segments (:46-51) = one alignment
+# pass, then three repair passes over the UNASSIGNED paragraphs — split an
+# other-language paragraph that swallowed two main paragraphs (:177-203),
+# merge an unassigned other-language fragment into its aligned neighbor or
+# split the main paragraph it straddles (:326-429), and merge two main
+# paragraphs the other language kept as one (:366-399). The caller
+# (MultilingualParagraphAlignerUseCase.align_languages:16-20) runs
+# fix_segments once per other language, then re-aligns.
+
+
+def _index_of(lst: list[dict], p: dict) -> int:
+    """Identity-based index (dicts compare by value; two distinct
+    paragraphs can be value-equal)."""
+    for i, x in enumerate(lst):
+        if x is p:
+            return i
+    return -1
+
+
+def merge_paragraph_pair(p1: dict, p2: dict, in_place: bool = False) -> dict:
+    """ParagraphFeatures.merge (:44-53): concatenated text/words/numbers/
+    specials, p1's first_word and page kept, boxes merged on-page."""
+    merged = p1 if in_place else dict(p1)
+    merged["text"] = (p1["text"] + " " + p2["text"]).strip()
+    merged["words"] = p1["words"] + p2["words"]
+    merged["numbers"] = p1["numbers"] + p2["numbers"]
+    merged["numbers_by_spaces"] = p1["numbers_by_spaces"] + p2["numbers_by_spaces"]
+    merged["non_alnum"] = p1["non_alnum"] + p2["non_alnum"]
+    if (
+        p1.get("top") is not None
+        and p2.get("top") is not None
+        and p1["page"] == p2["page"]
+    ):
+        bottom = max(p1["top"] + (p1.get("height") or 0), p2["top"] + (p2.get("height") or 0))
+        merged["top"] = min(p1["top"], p2["top"])
+        merged["height"] = bottom - merged["top"]
+    return merged
+
+
+def should_merge_paragraphs(target: dict, prev_score: float, p1: dict, p2: dict) -> bool:
+    """ParagraphsFromLanguage.should_merge_paragraphs (:421-429): merging
+    p1+p2 must not lower the match score against the already-aligned
+    target paragraph."""
+    return prev_score <= match_score(target, merge_paragraph_pair(p1, p2))
+
+
+def split_paragraph_at(paragraph_list: list[dict], splitter_word: str, to_fix: dict) -> bool:
+    """ParagraphsFromLanguage.split_paragraph (:204-231): split `to_fix`
+    (must be in `paragraph_list`) at `splitter_word` iff the word is a
+    list/section separator occurring exactly once, strictly inside the
+    text. The second part starts with the splitter."""
+    if not is_paragraph_separator(splitter_word):
+        return False
+    text = to_fix["text"]
+    if splitter_word not in text or text.count(splitter_word) > 1:
+        return False
+    stripped = text.strip()
+    if stripped.startswith(splitter_word) or stripped.endswith(splitter_word):
+        return False
+    idx = _index_of(paragraph_list, to_fix)
+    if idx < 0:
+        return False
+    part1 = text.split(splitter_word)[0].strip()
+    part2 = (splitter_word + text.split(splitter_word)[1]).strip()
+    halves = []
+    for j, part in enumerate((part1, part2)):
+        seed = {
+            "text": part,
+            "page": to_fix["page"],
+            "seg_type": to_fix["seg_type"],
+            "left": to_fix.get("left"),
+            "width": to_fix.get("width"),
+            "top": to_fix.get("top"),
+            "height": to_fix.get("height"),
+        }
+        # half-height boxes like the reference (ParagraphFeatures.py:60-65,89-94)
+        if to_fix.get("top") is not None and to_fix.get("height") is not None:
+            seed["height"] = to_fix["height"] / 2
+            seed["top"] = to_fix["top"] + j * to_fix["height"] / 2
+        halves.append(paragraph_features(seed, to_fix["index"]))
+    paragraph_list[idx : idx + 1] = halves
+    return True
+
+
+def _paragraph_distance(p1: dict, p2: dict) -> float:
+    """ParagraphFeatures.get_distance (:265-269): normalized vertical gap,
+    0 across pages. Without geometry (web-text paragraphs) the gap is
+    unknowable — treated as 0 so the merge repair stays reachable
+    (documented deviation; the score guard still gates the merge)."""
+    if p1.get("top") is None or p2.get("top") is None or p1["page"] != p2["page"]:
+        return 0.0
+    page_height = max(p1["top"] + (p1.get("height") or 0), p2["top"] + (p2.get("height") or 0), 1.0)
+    return (p2["top"] - (p1["top"] + (p1.get("height") or 0))) / page_height
+
+
+def _fix_other_segmentation(
+    main: list[dict], other: list[dict], m2o: dict, repaired_main: set
+) -> bool:
+    """Pass 1 (:177-203): an unassigned MAIN paragraph whose neighbor's
+    aligned other-paragraph scores better after merging the two main
+    paragraphs means the other language swallowed both — split the other
+    paragraph at the unassigned main's first word.
+
+    Deviation (documented): a main paragraph whose partner was CREATED by
+    a successful split is recorded in `repaired_main` and treated as
+    assigned by the later passes — the reference's object-keyed score map
+    goes stale after a split, and replaying pass 3 against the stale
+    pre-split score would immediately re-merge the mains the split just
+    fixed."""
+    before = len(other)
+    for cur in [p for p in reversed(main)]:
+        if id(cur) in m2o:
+            continue
+        idx = _index_of(main, cur)
+        prev = main[idx - 1] if idx > 0 else None
+        if prev is not None and id(prev) in m2o:
+            to_receive, score = m2o[id(prev)]
+            if should_merge_paragraphs(to_receive, score, prev, cur):
+                if split_paragraph_at(other, cur["first_word"], to_receive):
+                    repaired_main.add(id(cur))
+                continue
+        nxt = main[idx + 1] if idx + 1 < len(main) else None
+        if nxt is None or id(nxt) not in m2o:
+            continue
+        # Reference quirk mirrored (:196-200): this branch passes the MAIN
+        # paragraph (`.main_paragraph`) as the split target, which is
+        # never in the other-language list, so the split's index lookup
+        # fails and the branch is a no-op in practice.
+        _, score = m2o[id(nxt)]
+        if should_merge_paragraphs(nxt, score, cur, nxt):
+            split_paragraph_at(other, nxt["first_word"], nxt)
+    return len(other) != before
+
+
+def _split_main_or_merge_other(
+    main: list[dict],
+    other: list[dict],
+    main_to_receive: dict,
+    previous: dict,
+    nxt: dict,
+    aligned_other: set,
+) -> list[dict]:
+    """:400-419 — try splitting the main paragraph at the other fragment's
+    first word; else, if the two other fragments are vertically adjacent,
+    merge them (in place, keeping identity-keyed scores valid)."""
+    if split_paragraph_at(main, nxt["first_word"], main_to_receive):
+        return []
+    if _paragraph_distance(previous, nxt) > 0.02:
+        return []
+    if id(previous) in aligned_other:
+        merge_paragraph_pair(previous, nxt, in_place=True)
+        return [nxt]
+    if id(nxt) in aligned_other:
+        merge_paragraph_pair(previous, nxt, in_place=True)
+        i = _index_of(other, nxt)
+        if i >= 0:
+            other[i] = previous
+        return [nxt]
+    return []
+
+
+def _fix_other_unassigned(
+    main: list[dict], other: list[dict], o2m: dict, aligned_other: set
+) -> bool:
+    """Pass 2 (:326-364): an unassigned OTHER fragment either marks a main
+    paragraph that should be split, or is a broken-off piece to merge back
+    into its aligned neighbor."""
+    removed: list[dict] = []
+    main_before = len(main)
+    for cur in [p for p in reversed(other)]:
+        if id(cur) in o2m:
+            continue
+        idx = _index_of(other, cur)
+        if idx < 0:
+            continue
+        prev = other[idx - 1] if idx > 0 else None
+        if prev is not None and id(prev) in o2m:
+            main_to_receive, score = o2m[id(prev)]
+            if should_merge_paragraphs(main_to_receive, score, prev, cur):
+                removed += _split_main_or_merge_other(
+                    main, other, main_to_receive, prev, cur, aligned_other
+                )
+                continue
+        nxt = other[idx + 1] if idx + 1 < len(other) else None
+        if nxt is None or id(nxt) not in o2m:
+            continue
+        main_to_receive, score = o2m[id(nxt)]
+        if should_merge_paragraphs(main_to_receive, score, cur, nxt):
+            removed += _split_main_or_merge_other(
+                main, other, main_to_receive, cur, nxt, aligned_other
+            )
+    for p in removed:
+        i = _index_of(other, p)
+        if i >= 0:
+            other.pop(i)
+    return bool(removed) or len(main) != main_before
+
+
+def _fix_main_unassigned(
+    main: list[dict], other: list[dict], m2o: dict, repaired_main: set
+) -> bool:
+    """Pass 3 (:366-399): an unassigned MAIN paragraph whose neighbor's
+    aligned other-paragraph scores better against the merged pair means
+    the other language kept them as ONE paragraph — merge the mains.
+
+    Documented deviation from the reference's next-neighbor branch
+    (:391-394): the reference's in-place `cur.merge(next)` leaves the
+    merged object in the list TWICE (at idx via mutation and at idx+1 via
+    assignment) while the removal of `next` no-ops — a duplication bug we
+    do not reproduce; here the merged paragraph replaces `next` and `cur`
+    is dropped."""
+    removed: list[dict] = []
+    for cur in [p for p in reversed(main)]:
+        if id(cur) in m2o or id(cur) in repaired_main:
+            continue
+        idx = _index_of(main, cur)
+        if idx < 0:
+            continue
+        prev = main[idx - 1] if idx > 0 else None
+        if prev is not None and id(prev) in m2o:
+            other_to_compare, score = m2o[id(prev)]
+            if should_merge_paragraphs(other_to_compare, score, prev, cur):
+                merged = merge_paragraph_pair(prev, cur)
+                main[idx - 1] = merged
+                m2o[id(merged)] = m2o.pop(id(prev))
+                removed.append(cur)
+                continue
+        nxt = main[idx + 1] if idx + 1 < len(main) else None
+        if nxt is None or id(nxt) not in m2o:
+            continue
+        other_to_compare, score = m2o[id(nxt)]
+        if should_merge_paragraphs(other_to_compare, score, cur, nxt):
+            merged = merge_paragraph_pair(cur, nxt)
+            main[idx + 1] = merged
+            m2o[id(merged)] = m2o.pop(id(nxt))
+            removed.append(cur)
+    for p in removed:
+        i = _index_of(main, p)
+        if i >= 0:
+            main.pop(i)
+    return bool(removed)
+
+
+def fix_segments(main: list[dict], other: list[dict]) -> tuple[list[dict], list[dict], bool]:
+    """ParagraphsFromLanguage.fix_segments (:46-51): align once, then run
+    the three repair passes against that alignment's scores. Returns the
+    (possibly rebuilt) lists and whether anything changed; the caller
+    re-aligns afterwards, like the reference use case."""
+    main, other = list(main), list(other)
+    # NOTE: no is_same_document gate here — the reference sets its
+    # alignment scores before the same-pdf check and the repair passes
+    # consume them regardless (:37-44 vs :46-51); only the final aligned
+    # OUTPUT is emptied for different documents.
+    matches = align_paragraphs(main, other)
+    m2o = {id(main[mi]): (other[oi], sc) for mi, oi, sc in matches}
+    o2m = {id(other[oi]): (main[mi], sc) for mi, oi, sc in matches}
+    aligned_other = {id(other[oi]) for _, oi, _ in matches}
+    repaired_main: set = set()
+    changed = _fix_other_segmentation(main, other, m2o, repaired_main)
+    changed = _fix_other_unassigned(main, other, o2m, aligned_other) or changed
+    changed = _fix_main_unassigned(main, other, m2o, repaired_main) or changed
+    return main, other, changed
+
+
 # ------------------------------ Spark surface -----------------------------
 
-def align_documents(main_df, other_df, id_col: str = "url"):
+def align_documents(main_df, other_df, id_col: str = "url", repair: bool = True):
     """Distributed J4: cogroup the two segment tables by document id and
-    run clean+align per pair. Returns (doc, main_idx, other_idx, score,
+    run clean → fix_segments repair → align per pair (the reference's
+    MultilingualParagraphAlignerUseCase order; repair=False skips the
+    fix_segments passes). Returns (doc, main_idx, other_idx, score,
     main_text, other_text)."""
     import pandas as pd
 
@@ -329,6 +597,8 @@ def align_documents(main_df, other_df, id_col: str = "url"):
         other_pars = clean_paragraphs(
             [paragraph_features(r, i) for i, r in enumerate(other_pdf.sort_values("seg_idx").to_dict("records"))]
         )
+        if repair:
+            main_pars, other_pars, _ = fix_segments(main_pars, other_pars)
         matches = align_paragraphs(main_pars, other_pars)
         if not is_same_document(main_pars, matches):
             matches = []

@@ -379,14 +379,23 @@ def synth_png_assets(spark, n: int, seed: int = 42, dup_every: int = 5) -> DataF
 
     Generation is driver-side (n is test/bench scale); pixel content is a
     pure function of (seed, effective_id), no RNG state."""
+    rows = [(aid, bytearray(blob)) for aid, blob in synth_png_rows(n, seed, dup_every)]
+    return spark.createDataFrame(rows, "asset_id string, blob binary")
+
+
+def synth_png_rows(n: int, seed: int = 42, dup_every: int = 5) -> list[tuple[str, bytes]]:
+    """The deterministic (asset_id, png_bytes) rows behind
+    `synth_png_assets`, exposed Spark-free so a driver-side loop can
+    recompute expected pHashes for the executor-vs-driver parity oracle
+    (the strongest oracle PNG decode admits — no SQL engine decodes PNG)."""
     rows = []
     for i in range(n):
         eff = i - 1 if (dup_every and i % dup_every == 0 and i > 0) else i
         idx = np.arange(12 * 16 * 3, dtype=np.int64)
         pix = ((idx * 2654435761 + (seed * 1000003 + eff) * 97) % 251).reshape(12, 16, 3)
         ftype = 2 if eff != i else 0  # duplicates get a different filter
-        rows.append((f"img/{i}", bytearray(encode_png(pix.astype(np.uint8), ftype))))
-    return spark.createDataFrame(rows, "asset_id string, blob binary")
+        rows.append((f"img/{i}", encode_png(pix.astype(np.uint8), ftype)))
+    return rows
 
 
 def synth_assets(spark, n: int, seed: int = 42) -> DataFrame:

@@ -55,7 +55,10 @@ def run_pipeline(
     # it, and any later consumer of out["edges"] reuses the stored set
     # instead of re-running the linking stage
     edges = link_mentions(mentions, threshold=link_threshold).localCheckpoint(eager=False)
-    entities = canonical_entities(mentions, edges)
+    # pre_materialized: edges is checkpointed above, so canonicalization
+    # skips its defensive copy-checkpoint (one less fixed-latency job in
+    # the scaling serial floor)
+    entities = canonical_entities(mentions, edges, pre_materialized=True)
 
     out = {"segments": segments, "triples": triples, "edges": edges, "entities": entities}
     if output_dir:

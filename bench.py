@@ -227,6 +227,46 @@ def _binding_ceiling(calib: dict) -> float:
     return min(calib["host_cpu_calib_eff"], calib["host_membw_calib_eff"])
 
 
+def spark_scan_ceiling(n_pages: int) -> dict:
+    """ENGINE-INDEPENDENT Spark-layer ceiling: a minimal Spark job (parquet
+    scan → Arrow → pandas echo of the html column) run at local[1] vs
+    local[4] on the same corpus the scaling trials use.
+
+    Round-4 layer forensics: in windows where the PROCESS-level cpu and
+    membw calibrations both read ~1.0, Python-worker compute scales at
+    ~0.98 and JVM codegen at ~0.9, but this scan+Arrow copy path scales
+    at only ~0.65-0.8 — and separate executor JVMs (local-cluster mode)
+    reproduce it, so it is the host's memcpy/allocation path under a
+    shared bus, not JVM thread sharing. Every local-mode Spark job that
+    reads this corpus inherits that ceiling; a real N→4N executor cluster
+    multiplies buses instead. Published so the pipeline's paired
+    efficiency is interpretable against the floor of its own IO layer."""
+    import pandas as pd
+
+    path = f"/tmp/tee_bench_pages_{n_pages}_42.parquet"
+
+    def echo(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [pdf["html"].str.len().sum()]})
+
+    from pyspark.sql import functions as F
+
+    rates = {}
+    for cores in (1, 4):
+        s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
+        df = s.read.parquet(path)
+        df.mapInPandas(echo, "n long").agg(F.sum("n")).collect()  # warmup
+        t0 = time.time()
+        df.mapInPandas(echo, "n long").agg(F.sum("n")).collect()
+        rates[cores] = n_pages / (time.time() - t0)
+        s.stop()
+    return {
+        "spark_scan_local[1]": round(rates[1], 1),
+        "spark_scan_local[4]": round(rates[4], 1),
+        "spark_scan_calib_eff": round(min(rates[4] / (4 * rates[1]), 1.0), 3),
+    }
+
+
 def main():
     t_start = time.time()
 
@@ -333,29 +373,30 @@ def main():
             post = timed_calib()
             attempts += 1
             eff = round(min(pair[4] / (pair[1] * 4), 1.0), 3)
-            # Window ceiling = per-resource BEST of the two adjacent
-            # calibrations, then the binding min across resources. The
-            # calibrations are ~20s point samples of a host that
-            # demonstrably fluctuates at sub-minute granularity (back-to-
-            # back binding readings swing 0.18-1.0), so requiring BOTH
-            # samples clean would square the false-discard probability on
-            # probe noise; one clean adjacent sample is the evidence that
-            # 4 clean cores were obtainable around this pair. The strict
-            # (min-of-both) reading is published alongside.
-            ceiling = round(
+            # Window ceiling = STRICT min of the binding ceilings of the
+            # two adjacent calibrations: a pair is only valid if the host
+            # demonstrated 4 clean cores BOTH before and after it. An
+            # earlier max-of-adjacent variant accepted a pair whose
+            # window collapsed mid-run (pre 0.99 → post 0.32, pair eff
+            # 0.45 entered the "clean" median); with the barrier-synced
+            # probes stable at ~1.0 in genuinely clean windows, the
+            # strict rule's false-discard risk is the acceptable side of
+            # that trade. The lenient (max-of-adjacent) reading is
+            # published alongside for transparency.
+            ceiling = round(min(_binding_ceiling(pre), _binding_ceiling(post)), 3)
+            lenient = round(
                 min(
                     max(pre["host_cpu_calib_eff"], post["host_cpu_calib_eff"]),
                     max(pre["host_membw_calib_eff"], post["host_membw_calib_eff"]),
                 ),
                 3,
             )
-            floor_strict = round(min(_binding_ceiling(pre), _binding_ceiling(post)), 3)
             rec = {
                 "local1": pair[1],
                 "local4": pair[4],
                 "eff": eff,
                 "window_ceiling": ceiling,
-                "window_ceiling_strict": floor_strict,
+                "window_ceiling_lenient": lenient,
             }
             if pair[4] / (pair[1] * 4) < CORRUPT_FLOOR:
                 discarded.append([pair[1], pair[4]])
@@ -372,12 +413,19 @@ def main():
             # resort only if NOTHING else was measured
             accepted_pairs = degraded_pairs or [
                 {"local1": s1, "local4": s4, "eff": round(min(s4 / (s1 * 4), 1.0), 3),
-                 "window_ceiling": 0.0, "window_ceiling_strict": 0.0}
+                 "window_ceiling": 0.0, "window_ceiling_lenient": 0.0}
                 for s1, s4 in discarded
             ]
             degraded_pairs = []
         samples[1] = [p["local1"] for p in accepted_pairs]
         samples[4] = [p["local4"] for p in accepted_pairs]
+        # supplementary Spark-layer scan ceiling (engine-independent; see
+        # spark_scan_ceiling) — one pair, budget-guarded
+        if time.time() - t_start + 45 < budget:
+            try:
+                scaling.update(spark_scan_ceiling(n_scale))
+            except Exception:
+                pass
         # supplementary extract-only pairing AFTER the headline pipeline
         # trials (they have budget priority); skipped in windows where the
         # pipeline trials consumed the budget
@@ -416,8 +464,8 @@ def main():
         scaling["calib_floor"] = CALIB_FLOOR
         scaling["calib_clean_pairs"] = calib_clean
         scaling["pair_window_ceilings"] = [p["window_ceiling"] for p in accepted_pairs]
-        scaling["pair_window_ceilings_strict"] = [
-            p.get("window_ceiling_strict", 0.0) for p in accepted_pairs
+        scaling["pair_window_ceilings_lenient"] = [
+            p.get("window_ceiling_lenient", 0.0) for p in accepted_pairs
         ]
         scaling["skipped_degraded_windows"] = skips
         if degraded_pairs:

@@ -595,6 +595,11 @@ def q_spatial_assign(spark, sf_dir):
     )
 
 
+# one constant pair shared by the Spark query AND its driver-side parity
+# oracle (_phash_oracle_sql) — they must describe the SAME synthetic corpus
+_PHASH_N, _PHASH_SEED = 200, 7
+
+
 def q_phash_dedup(spark, sf_dir):
     """multimodal: perceptual-hash duplicate buckets over REAL PNG blobs
     (from-scratch zlib+numpy decode, operators/multimodal.py). The asset
@@ -615,7 +620,7 @@ def q_phash_dedup(spark, sf_dir):
         synth_png_assets,
     )
 
-    assets = synth_png_assets(spark, 200, seed=7)
+    assets = synth_png_assets(spark, _PHASH_N, seed=_PHASH_SEED)
     return phash_duplicates(assets).orderBy("phash")
 
 
@@ -1076,7 +1081,7 @@ def _embedding_dim(default: int = 64) -> int:
     return default
 
 
-def _phash_oracle_sql(n: int = 200, seed: int = 7) -> str | None:
+def _phash_oracle_sql(n: int = _PHASH_N, seed: int = _PHASH_SEED) -> str | None:
     """Executor-vs-driver parity oracle for phash_dedup: recompute the
     expected (asset_id, phash) table with the SAME pure-Python codec in a
     plain driver loop (no Spark, no Arrow, no partitioning), write it to

@@ -144,17 +144,18 @@ def extract_throughput(spark, n_pages: int, seed: int = 42, warmup: bool = True)
     return run(ensure_pages_parquet(spark, n_pages, seed), n_pages)
 
 
-def _calib_worker(kind: str, n: int, ev, q):
+def _calib_worker(kind: str, n: int, ready, ev, q):
     """Calibration child: set up buffers (allocation + first-touch faults
     OUTSIDE the timed region — this VM's page faults cost ~50x the
     arithmetic and made the old externally-timed membw reading swing 22x
-    between adjacent identical runs), barrier on `ev`, then time the
-    kernel internally and report the rate via `q`."""
+    between adjacent identical runs), signal readiness, barrier on `ev`,
+    then time the kernel internally and report the rate via `q`."""
     import numpy as np
 
     if kind == "cpu":
         # cache-resident integer mixing — pure-CPU, no DRAM pressure
         x = np.arange(1 << 14, dtype=np.int64)
+        ready.put(1)
         ev.wait()
         t0 = time.time()
         with np.errstate(over="ignore"):
@@ -169,6 +170,7 @@ def _calib_worker(kind: str, n: int, ev, q):
         a[:] = 1
         b = np.empty_like(a)
         b[:] = 0
+        ready.put(1)
         ev.wait()
         t0 = time.time()
         for _ in range(n):
@@ -198,23 +200,42 @@ def host_scaling_ceilings(spin_n: int = 250, mem_n: int = 6) -> dict:
     thread count, so the honest report is: engine efficiency alongside
     the host's simultaneously-measured ceilings."""
     import multiprocessing as mp
+    from queue import Empty
 
     out = {}
     for kind, n in (("cpu", spin_n), ("membw", mem_n)):
         rates = {}
         for procs in (1, 4):
-            ev, q = mp.Event(), mp.Queue()
+            ready, ev, q = mp.Queue(), mp.Event(), mp.Queue()
             ps = [
-                mp.Process(target=_calib_worker, args=(kind, n, ev, q))
+                mp.Process(target=_calib_worker, args=(kind, n, ready, ev, q))
                 for _ in range(procs)
             ]
             for p in ps:
                 p.start()
-            time.sleep(1.0)  # let every child finish prefault/import
-            ev.set()
-            vals = [q.get() for _ in ps]
-            for p in ps:
-                p.join()
+            try:
+                # real barrier: wait for every child to finish its
+                # prefault/import and say so — a fixed sleep let a slow
+                # child start its timed window after the others, which
+                # overstates the ceiling exactly in the dirty windows the
+                # gate exists to detect
+                for _ in ps:
+                    ready.get(timeout=60)
+                ev.set()
+                vals = [q.get(timeout=180) for _ in ps]
+            except Empty:
+                # a child died (e.g. OOM-killed membw leg) or stalled:
+                # report a 0.0 ceiling for this kind — conservative, the
+                # window is treated as degraded rather than hanging the
+                # whole bench on q.get()
+                ev.set()
+                for p in ps:
+                    p.terminate()
+                rates = {1: 1.0, 4: 0.0}
+                break
+            finally:
+                for p in ps:
+                    p.join(timeout=10)
             rates[procs] = sum(vals)
         out[f"host_{kind}_calib_eff"] = round(min(rates[4] / (4 * rates[1]), 1.0), 3)
     return out
@@ -243,8 +264,6 @@ def spark_scan_ceiling(n_pages: int) -> dict:
     efficiency is interpretable against the floor of its own IO layer."""
     import pandas as pd
 
-    path = f"/tmp/tee_bench_pages_{n_pages}_42.parquet"
-
     def echo(batches):
         for pdf in batches:
             yield pd.DataFrame({"n": [pdf["html"].str.len().sum()]})
@@ -254,7 +273,9 @@ def spark_scan_ceiling(n_pages: int) -> dict:
     rates = {}
     for cores in (1, 4):
         s = _new_spark(f"local[{cores}]", max(cores * 2, 8))
-        df = s.read.parquet(path)
+        # idempotent; returns the canonical corpus path instead of
+        # duplicating ensure_pages_parquet's path convention here
+        df = s.read.parquet(ensure_pages_parquet(s, n_pages))
         df.mapInPandas(echo, "n long").agg(F.sum("n")).collect()  # warmup
         t0 = time.time()
         df.mapInPandas(echo, "n long").agg(F.sum("n")).collect()
@@ -499,12 +520,16 @@ def main():
             # resources cannot scale past the lower one). Upper-bounds
             # exogenous interference; the raw numbers above remain the
             # primary evidence. With the validity gate this is a small
-            # correction (clean windows have ceiling >= CALIB_FLOOR);
-            # it matters mainly in the calib_clean_pairs=0 fallback.
-            ceiling = max(median(scaling["pair_window_ceilings"]), 1e-6)
-            scaling["efficiency_vs_host_ceiling"] = round(
-                min(scaling["efficiency_1_to_4"] / ceiling, 1.0), 3
-            )
+            # correction (clean windows have ceiling >= CALIB_FLOOR).
+            # Omitted entirely when no window ceiling was measured (the
+            # all-pairs-starved fallback records 0.0 ceilings): dividing
+            # by an epsilon there would publish a perfect 1.0 on the
+            # worst possible run.
+            ceiling = median(scaling["pair_window_ceilings"])
+            if ceiling > 0.05:
+                scaling["efficiency_vs_host_ceiling"] = round(
+                    min(scaling["efficiency_1_to_4"] / ceiling, 1.0), 3
+                )
 
     result = {
         "metric": "kg_pipeline_and_headline_queries",

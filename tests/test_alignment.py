@@ -211,3 +211,20 @@ def test_align_documents_repair_flag(spark):
     # same-document gate (50% is not > 50%) and drops the whole doc
     assert len(with_repair) == 2 and len(without) == 0
     assert with_repair.sort_values("main_idx")["other_text"].tolist()[1].startswith("2. The council")
+
+
+def test_fix_segments_no_duplicate_objects():
+    """Regression (round-4 review): the merge-into-aligned-next branch of
+    the pass-2 repair left the merged paragraph at TWO list indices (the
+    reference's own removal no-ops there, :411-416). The repaired lists
+    must never contain the same object or text twice."""
+    main = _pars(
+        ["7 :: budget overview presentation", "cat ran over the green hill near the river"]
+    )
+    other = _pars(["cat ran", "over the green hill near the river"])
+    main2, other2, _ = fix_segments(main, other)
+    for lst in (main2, other2):
+        ids = [id(p) for p in lst]
+        assert len(ids) == len(set(ids))
+        texts = [p["text"] for p in lst]
+        assert len(texts) == len(set(texts))

@@ -152,3 +152,25 @@ def test_corrupt_png_degrades_not_crashes(spark):
     rows = {r["asset_id"]: r["phash"] for r in image_phash(assets).collect()}
     assert rows["ok"] is not None
     assert rows["bad1"] is None and rows["bad2"] is None
+
+
+def test_image_features_corrupt_png_degrades(spark):
+    """Regression (round-4 review): image_features' PNG branch must
+    degrade corrupt PNG-signed payloads to the fake meta/features like
+    decode_image does, not die inside mapInPandas."""
+    from trainable_entity_extractor_spark.operators.multimodal import (
+        encode_png,
+        image_features,
+    )
+
+    idx = np.arange(8 * 8 * 3, dtype=np.int64)
+    good = encode_png(((idx * 17) % 251).reshape(8, 8, 3).astype(np.uint8))
+    bad = bytearray(good)
+    bad[60] ^= 0xFF
+    assets = spark.createDataFrame(
+        [("ok", bytearray(good)), ("bad", bad)], "asset_id string, blob binary"
+    )
+    rows = {r["asset_id"]: r for r in image_features(assets).collect()}
+    assert rows["ok"]["meta"]["format"] == "png"
+    assert rows["bad"]["meta"]["format"] == "fake"
+    assert len(rows["bad"]["feature"]) == 16

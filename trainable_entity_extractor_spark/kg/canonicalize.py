@@ -39,8 +39,14 @@ def _scratch_dir(spark) -> str:
         return conf_dir
     ckpt = spark.sparkContext.getCheckpointDir()
     if ckpt:
-        # strip an hdfs-style file: scheme for the local-write below
-        return ckpt[len("file:"):] if ckpt.startswith("file:") else ckpt
+        # the write below uses local-filesystem APIs (mkdtemp + pyarrow),
+        # so only a LOCAL checkpoint dir is usable: strip a file: scheme,
+        # ignore remote schemes (hdfs://, s3a://, …) — for those, point
+        # spark.tee.scratch.dir at a locally-mounted shared path instead
+        if ckpt.startswith("file:"):
+            return ckpt[len("file:"):]
+        if "://" not in ckpt:
+            return ckpt
     return tempfile.gettempdir()
 
 

@@ -469,11 +469,18 @@ def _split_main_or_merge_other(
         merge_paragraph_pair(previous, nxt, in_place=True)
         return [nxt]
     if id(nxt) in aligned_other:
+        # merge the unassigned `previous` into the aligned `nxt` slot.
+        # Deviation (documented): the reference replaces nxt's slot with
+        # the merged `previous` and then tries to remove `nxt`, which is
+        # no longer in the list — leaving the merged paragraph at TWO
+        # indices (:411-416, reproduced on a fixture). Here the merged
+        # paragraph keeps nxt's aligned slot and previous's own slot is
+        # the one removed.
         merge_paragraph_pair(previous, nxt, in_place=True)
         i = _index_of(other, nxt)
         if i >= 0:
             other[i] = previous
-        return [nxt]
+        return [previous]
     return []
 
 

@@ -286,8 +286,18 @@ def image_features(
             metas, feats = [], []
             for blob in pdf[blob_col]:
                 payload = bytes(blob) if blob is not None else b""
+                arr = None
                 if payload.startswith(_PNG_SIG):
-                    arr, meta = _png_decode(payload)
+                    try:
+                        arr, meta = _png_decode(payload)
+                    except ValueError:
+                        # corrupt PNG-signed payload: degrade like
+                        # decode_image (fake meta/features) instead of
+                        # killing the job
+                        if not deterministic_fake:
+                            raise
+                        arr = None
+                if arr is not None:
                     metas.append(meta)
                     # real content feature: 4x4 area-downsampled grayscale
                     # (16 floats in [0,1]), padded/truncated to dim

@@ -595,6 +595,72 @@ def q_spatial_assign(spark, sf_dir):
     )
 
 
+def q_repeated_headers(spark, sf_dir):
+    """F12 distributed form on the driver gate: page-edge segments whose
+    text repeats on >= max(ceil(0.2*pages), 3) distinct pages of a
+    document are stripped (operators/windows.py
+    remove_repeated_headers_df — two hash aggs + one equi-join, the
+    crawl-scale path; the fuzzy per-document variant lives in
+    operators/alignment.py). Synthetic segment table derived
+    deterministically from orders with a planted repeating header."""
+    from trainable_entity_extractor_spark.operators.windows import (
+        remove_repeated_headers_df,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    seg = o.select(
+        F.concat(F.lit("d"), (F.col("o_custkey") % 20).cast("string")).alias("url"),
+        ((F.col("o_orderkey") % 7) + 1).cast("int").alias("page"),
+        ((F.col("o_orderkey") % 10) * 80.0).alias("top"),
+        F.lit(12.0).alias("height"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("CONFIDENTIAL HEADER"))
+        .otherwise(F.concat(F.lit("body "), F.col("o_orderkey").cast("string")))
+        .alias("text"),
+    )
+    cleaned = remove_repeated_headers_df(seg, page_height=800.0)
+    return cleaned.groupBy("url").agg(F.count("*").alias("n_left")).orderBy("url")
+
+
+def q_merge_boxes(spark, sf_dir):
+    """X15 merged bounding rectangles per (url, page)
+    (operators/geometry.py merge_boxes — one hash agg of min/max column
+    arithmetic, Rectangle.merge_rectangles semantics)."""
+    from trainable_entity_extractor_spark.operators.geometry import merge_boxes
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    tokens = li.select(
+        (F.col("l_orderkey") % 10).cast("int").alias("url"),
+        ((F.col("l_linenumber") % 3) + 1).cast("int").alias("page"),
+        ((F.col("l_partkey") % 50) * 10.0).alias("left"),
+        ((F.col("l_suppkey") % 40) * 10.0).alias("top"),
+        F.lit(12.0).alias("width"),
+        F.lit(8.0).alias("height"),
+    )
+    return merge_boxes(tokens, ["url", "page"]).orderBy("url", "page")
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing (operators/multimodal.py
+    sample_frames): one-to-many mapInPandas emitting byte-slice
+    pseudo-frames — the partition-preserving explode shape a real ffmpeg
+    sampler would use. Blobs here are the documents' UTF-8 text bytes so
+    a DuckDB oracle can reproduce the slicing (the corpus text is pure
+    ASCII, so character slicing == byte slicing); frames are compared
+    hex-encoded (Spark's base64 is MIME-wrapped every 76 chars, hex is
+    not)."""
+    from trainable_entity_extractor_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    assets = d.select(
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.col("text").cast("binary").alias("blob"),
+    )
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "asset_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    ).orderBy("asset_id", "frame_idx")
+
+
 # one constant pair shared by the Spark query AND its driver-side parity
 # oracle (_phash_oracle_sql) — they must describe the SAME synthetic corpus
 _PHASH_N, _PHASH_SEED = 200, 7
@@ -658,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "spatial_assign": q_spatial_assign,
+        "repeated_headers": q_repeated_headers,
+        "merge_boxes": q_merge_boxes,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1026,6 +1095,60 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
             WHERE cos_ab >= 0.4
             ORDER BY a, b
+        """,
+        "repeated_headers": """
+            WITH seg AS (
+                SELECT 'd' || (o_custkey % 20)::VARCHAR AS url,
+                       ((o_orderkey % 7) + 1)::INT AS page,
+                       ((o_orderkey % 10) * 80.0) AS top,
+                       12.0 AS height,
+                       CASE WHEN o_orderkey % 10 = 0 THEN 'CONFIDENTIAL HEADER'
+                            ELSE 'body ' || o_orderkey::VARCHAR END AS text
+                FROM orders
+            ), pages AS (
+                SELECT url, max(page) AS n_pages FROM seg GROUP BY url
+            ), edge AS (
+                SELECT * FROM seg WHERE top < 800*0.2 OR top + height > 800*0.8
+            ), hdr AS (
+                SELECT e.url, e.text
+                FROM edge e JOIN pages p ON e.url = p.url
+                GROUP BY e.url, e.text, p.n_pages
+                HAVING count(DISTINCT e.page) >= greatest(ceil(0.2 * p.n_pages), 3)
+            ), cleaned AS (
+                SELECT s.url FROM seg s LEFT JOIN hdr h
+                  ON s.url = h.url AND s.text = h.text
+                 AND (s.top < 800*0.2 OR s.top + s.height > 800*0.8)
+                WHERE h.url IS NULL
+            )
+            SELECT url, count(*)::BIGINT AS n_left
+            FROM cleaned GROUP BY url ORDER BY url
+        """,
+        "merge_boxes": """
+            WITH tok AS (
+                SELECT (l_orderkey % 10)::INT AS url,
+                       ((l_linenumber % 3) + 1)::INT AS page,
+                       ((l_partkey % 50) * 10.0) AS l,
+                       ((l_suppkey % 40) * 10.0) AS t,
+                       12.0 AS w, 8.0 AS h
+                FROM lineitem WHERE l_orderkey < 1000
+            )
+            SELECT url, page,
+                   min(l) AS "left", min(t) AS top,
+                   max(l + w) - min(l) AS width,
+                   max(t + h) - min(t) AS height
+            FROM tok GROUP BY url, page ORDER BY url, page
+        """,
+        "frame_sample": """
+            WITH a AS (
+                SELECT 'doc/' || doc_id::VARCHAR AS asset_id, text AS t,
+                       least(8, greatest(1, length(text) // 64)) AS n
+                FROM documents WHERE doc_id < 50
+            ), exploded AS (
+                SELECT asset_id, t, unnest(range(n)) AS i FROM a
+            )
+            SELECT asset_id, i::INT AS frame_idx,
+                   hex(encode(substring(t, (i*64 + 1)::INT, 64))) AS frame_hex
+            FROM exploded ORDER BY asset_id, frame_idx
         """,
         "connected_components": """
             WITH RECURSIVE

@@ -67,3 +67,33 @@ def test_layout_modes(spark):
     assert out["a"]["n_segments"] == 5
     assert out["a"]["height_mode"] == 12.0
     assert out["a"]["line_space_mode"] == 88.0  # 100-step tops, 12 height
+
+
+def test_remove_repeated_headers_df(spark):
+    """Distributed F12: page-edge text repeating on >=3 distinct pages is
+    stripped; same text in the page body survives (only cluster members,
+    all edge paragraphs, are removed — like the reference)."""
+    from trainable_entity_extractor_spark.operators.windows import (
+        remove_repeated_headers_df,
+    )
+
+    rows = []
+    for page in range(1, 6):
+        rows.append(("d1", page, 10.0, 12.0, "Annual Report"))        # edge header
+        rows.append(("d1", page, 400.0, 12.0, f"body {page}"))         # unique body
+    rows.append(("d1", 1, 420.0, 12.0, "Annual Report"))               # body copy, kept
+    rows.append(("d1", 2, 20.0, 12.0, "rare note"))                    # edge, 1 page only
+    # second doc: header on only 2 pages -> below max(ceil(0.2*2),3)=3, kept
+    for page in (1, 2):
+        rows.append(("d2", page, 10.0, 12.0, "Annual Report"))
+    seg = spark.createDataFrame(
+        rows, "url string, page int, top double, height double, text string"
+    )
+    out = remove_repeated_headers_df(seg, page_height=700.0)
+    got = [(r["url"], r["page"], r["top"], r["text"]) for r in out.collect()]
+    d1_headers_on_edge = [g for g in got if g[0] == "d1" and g[3] == "Annual Report" and g[2] < 140]
+    assert d1_headers_on_edge == []  # 5-page cluster removed
+    assert ("d1", 1, 420.0, "Annual Report") in got  # body copy kept
+    assert ("d1", 2, 20.0, "rare note") in got  # single-page edge kept
+    assert len([g for g in got if g[0] == "d2"]) == 2  # below min_pages kept
+    assert len([g for g in got if g[3].startswith("body")]) == 5

@@ -70,3 +70,54 @@ def layout_modes(segments: DataFrame, url_col: str = "url") -> DataFrame:
         F.mode("line_space").alias("line_space_mode"),
         F.count("*").alias("n_segments"),
     )
+
+
+def remove_repeated_headers_df(
+    segments: DataFrame,
+    page_height: float = 792.0,
+    url_col: str = "url",
+    top_threshold: float = 0.2,
+    repeated_threshold: float = 0.2,
+    min_cluster_pages: int = 3,
+) -> DataFrame:
+    """F12, DISTRIBUTED form (reference:
+    ParagraphsFromLanguage.remove_headers_and_footers +
+    find_headers_with_similarities, :118-147): drop page-edge paragraphs
+    whose text repeats on >= max(ceil(0.2 * pages), 3) distinct pages of
+    the same document.
+
+    This is the crawl-scale path for header/footer stripping: two hash
+    aggregations on (url, text) + one equi-join — no all-pairs work, no
+    Python. Documented deviation from the per-document Python path
+    (operators/alignment.py remove_repeated_headers, used inside the
+    cogroup alignment): clusters are EXACT-text groups, not fuzz>90
+    clusters — exact matching after whitespace normalization is the
+    shuffle-friendly form; near-duplicate headers with OCR noise are the
+    per-document path's job. Non-edge segments with the same text are
+    kept, like the reference (only cluster members, which are all edge
+    paragraphs, are removed)."""
+    h = float(page_height)
+    on_edge = (F.col("top") < h * top_threshold) | (
+        (F.col("top") + F.col("height")) > h * (1 - top_threshold)
+    )
+    pages = segments.groupBy(url_col).agg(F.max("page").alias("_n_pages"))
+    edge = segments.filter(on_edge)
+    clusters = edge.groupBy(url_col, "text").agg(
+        F.countDistinct("page").alias("_pages_seen")
+    )
+    headers = (
+        clusters.join(pages, url_col)
+        .filter(
+            F.col("_pages_seen")
+            >= F.greatest(
+                F.ceil(F.lit(repeated_threshold) * F.col("_n_pages")),
+                F.lit(min_cluster_pages),
+            )
+        )
+        .select(url_col, "text", F.lit(True).alias("_is_header"))
+    )
+    return (
+        segments.join(headers, [url_col, "text"], "left")
+        .filter(~(on_edge & F.coalesce(F.col("_is_header"), F.lit(False))))
+        .drop("_is_header")
+    )

@@ -661,6 +661,50 @@ def q_frame_sample(spark, sf_dir):
     ).orderBy("asset_id", "frame_idx")
 
 
+def q_reading_order(spark, sf_dir):
+    """W1 reading order on the driver gate (operators/windows.py
+    with_reading_order — row_number over (page, top, left) per document,
+    PdfData.py:49). `left` encodes a unique per-row key so the sort is
+    total and both engines agree deterministically."""
+    from trainable_entity_extractor_spark.operators.windows import with_reading_order
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    seg = li.select(
+        (F.col("l_orderkey") % 10).cast("int").alias("url"),
+        ((F.col("l_linenumber") % 2) + 1).cast("int").alias("page"),
+        ((F.col("l_partkey") % 30) * 10.0).alias("top"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("double").alias("left"),
+    )
+    return with_reading_order(seg).orderBy("url", "seg_idx")
+
+
+def q_title_carry(spark, sf_dir):
+    """W3 title carry-forward on the driver gate (operators/windows.py
+    with_last_title — last TITLE segment before each row, ignorenulls
+    last over an unbounded-preceding window,
+    SegmentLightgbmFrequentWords.py:246-252)."""
+    from trainable_entity_extractor_spark.operators.windows import with_last_title
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    seg = li.select(
+        (F.col("l_orderkey") % 5).cast("int").alias("url"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seg_idx"),
+        F.when(F.col("l_partkey") % 17 == 0, F.lit("TITLE"))
+        .otherwise(F.lit("TEXT"))
+        .alias("seg_type"),
+        F.concat(F.lit("seg "), F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")).alias("text"),
+        F.lit(72.0).alias("left"),
+        F.lit(100.0).alias("top"),
+        F.lit(451.0).alias("width"),
+        F.lit(12.0).alias("height"),
+    )
+    return (
+        with_last_title(seg)
+        .select("url", "seg_idx", "seg_type", F.col("last_title.text").alias("last_title_text"))
+        .orderBy("url", "seg_idx")
+    )
+
+
 # one constant pair shared by the Spark query AND its driver-side parity
 # oracle (_phash_oracle_sql) — they must describe the SAME synthetic corpus
 _PHASH_N, _PHASH_SEED = 200, 7
@@ -727,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_headers": q_repeated_headers,
         "merge_boxes": q_merge_boxes,
         "frame_sample": q_frame_sample,
+        "reading_order": q_reading_order,
+        "title_carry": q_title_carry,
     }
 
 
@@ -1149,6 +1195,33 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT asset_id, i::INT AS frame_idx,
                    hex(encode(substring(t, (i*64 + 1)::INT, 64))) AS frame_hex
             FROM exploded ORDER BY asset_id, frame_idx
+        """,
+        "reading_order": """
+            WITH seg AS (
+                SELECT (l_orderkey % 10)::INT AS url,
+                       ((l_linenumber % 2) + 1)::INT AS page,
+                       ((l_partkey % 30) * 10.0) AS top,
+                       (l_orderkey * 10 + l_linenumber)::DOUBLE AS "left"
+                FROM lineitem WHERE l_orderkey < 500
+            )
+            SELECT url, page, top, "left",
+                   (row_number() OVER (PARTITION BY url ORDER BY page, top, "left") - 1)::INT AS seg_idx
+            FROM seg ORDER BY url, seg_idx
+        """,
+        "title_carry": """
+            WITH seg AS (
+                SELECT (l_orderkey % 5)::INT AS url,
+                       (l_orderkey * 10 + l_linenumber) AS seg_idx,
+                       CASE WHEN l_partkey % 17 = 0 THEN 'TITLE' ELSE 'TEXT' END AS seg_type,
+                       'seg ' || l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS text
+                FROM lineitem WHERE l_orderkey < 300
+            )
+            SELECT url, seg_idx, seg_type,
+                   last_value(CASE WHEN seg_type = 'TITLE' THEN text END IGNORE NULLS)
+                       OVER (PARTITION BY url ORDER BY seg_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_title_text
+            FROM seg ORDER BY url, seg_idx
         """,
         "connected_components": """
             WITH RECURSIVE

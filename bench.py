@@ -227,11 +227,14 @@ def host_scaling_ceilings(spin_n: int = 250, mem_n: int = 6) -> dict:
                 # a child died (e.g. OOM-killed membw leg) or stalled:
                 # report a 0.0 ceiling for this kind — conservative, the
                 # window is treated as degraded rather than hanging the
-                # whole bench on q.get()
+                # whole bench on q.get() — and flag it as a probe
+                # failure so a synthetic 0.0 is distinguishable from a
+                # genuinely collapsed measurement
                 ev.set()
                 for p in ps:
                     p.terminate()
                 rates = {1: 1.0, 4: 0.0}
+                out[f"host_{kind}_calib_failed"] = True
                 break
             finally:
                 for p in ps:

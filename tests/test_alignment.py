@@ -228,3 +228,36 @@ def test_fix_segments_no_duplicate_objects():
         assert len(ids) == len(set(ids))
         texts = [p["text"] for p in lst]
         assert len(texts) == len(set(texts))
+
+
+def test_fix_segments_word_conservation_property():
+    """Property: the repair passes only move text around — split keeps
+    both halves, merges concatenate before the source is dropped — so
+    the word multiset of each side is preserved, and no object or text
+    is ever duplicated. Randomized paragraph lists over a small
+    vocabulary (seeded, deterministic) whose separator tokens only occur
+    as whole words — the split's substring matching (reference parity:
+    `splitter_word not in original_text`) can re-segment characters when
+    a separator occurs mid-word, so the invariant is scoped to
+    word-boundary-clean text."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "report", "council", "2.", "3.", "(a)", "budget"]
+    for _ in range(40):
+        def rand_pars():
+            n = rng.randint(1, 6)
+            return _pars(
+                [" ".join(rng.choices(vocab, k=rng.randint(1, 8))) for _ in range(n)]
+            )
+
+        main, other = rand_pars(), rand_pars()
+        words_main = Counter(w for p in main for w in p["words"])
+        words_other = Counter(w for p in other for w in p["words"])
+        main2, other2, _ = fix_segments(main, other)
+        assert Counter(w for p in main2 for w in p["words"]) == words_main
+        assert Counter(w for p in other2 for w in p["words"]) == words_other
+        for lst in (main2, other2):
+            ids = [id(p) for p in lst]
+            assert len(ids) == len(set(ids))

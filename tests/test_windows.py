@@ -97,3 +97,43 @@ def test_remove_repeated_headers_df(spark):
     assert ("d1", 2, 20.0, "rare note") in got  # single-page edge kept
     assert len([g for g in got if g[0] == "d2"]) == 2  # below min_pages kept
     assert len([g for g in got if g[3].startswith("body")]) == 5
+
+
+def test_repeated_headers_df_matches_list_variant_on_exact_headers(spark):
+    """Parity: on corpora whose repeated headers are EXACT duplicates
+    (the case where the distributed exact-text clustering and the
+    per-document fuzz>90 clustering coincide), remove_repeated_headers_df
+    must keep exactly the texts the list-based alignment pass keeps."""
+    import random
+
+    from trainable_entity_extractor_spark.operators.alignment import (
+        paragraph_features,
+        remove_repeated_headers,
+    )
+    from trainable_entity_extractor_spark.operators.windows import (
+        remove_repeated_headers_df,
+    )
+
+    rng = random.Random(5)
+    page_height = 700.0
+    rows, pars = [], []
+    for page in range(1, 9):
+        headers = ["Top Banner 2024"] if page <= 7 else []
+        for text, top in [(h, 5.0) for h in headers] + [
+            (f"unique body {page}-{i} {rng.randint(0, 9)}", 200.0 + 30 * i) for i in range(3)
+        ] + ([("Footer Line", 660.0)] if page >= 3 else []):
+            rows.append(("docA", page, float(top), 12.0, text))
+            pars.append(
+                paragraph_features(
+                    {"text": text, "page": page, "seg_type": "TEXT", "top": top, "height": 12.0},
+                    len(pars),
+                )
+            )
+    seg = spark.createDataFrame(
+        rows, "url string, page int, top double, height double, text string"
+    )
+    df_kept = sorted(
+        (r["page"], r["text"]) for r in remove_repeated_headers_df(seg, page_height=page_height).collect()
+    )
+    list_kept = sorted((p["page"], p["text"]) for p in remove_repeated_headers(pars, page_height=page_height))
+    assert df_kept == list_kept

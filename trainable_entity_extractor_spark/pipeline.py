@@ -38,6 +38,13 @@ def run_pipeline(
     # localCheckpoint at the stage boundary: triples feed four downstream
     # consumers (mentions, signatures x2 via the banding self-join, final
     # sink) — without it the extraction joins re-run per consumer.
+    # NOTE (measured, round 4): with AQE on, eager=False is lazy only on
+    # paper — the checkpoint's .rdd access makes AdaptiveSparkPlan
+    # materialize its shuffle stages to finalize the physical plan, so
+    # multi-stage lineages largely EXECUTE here, at construction time.
+    # Harmless for this pipeline (all consumers are inside the same timed
+    # region and the work runs exactly once), but don't expect this call
+    # to return before the heavy stages have run.
     triples = extract_triples(segments, default_options(spark), pred_name).localCheckpoint(
         eager=False
     )

@@ -1156,10 +1156,12 @@ def _oracle_sql_base() -> dict[str, str]:
             ), edge AS (
                 SELECT * FROM seg WHERE top < 800*0.2 OR top + height > 800*0.8
             ), hdr AS (
+                -- reference parity: threshold counts cluster MEMBERS
+                -- (len(cluster) >= min_pages), not distinct pages
                 SELECT e.url, e.text
                 FROM edge e JOIN pages p ON e.url = p.url
                 GROUP BY e.url, e.text, p.n_pages
-                HAVING count(DISTINCT e.page) >= greatest(ceil(0.2 * p.n_pages), 3)
+                HAVING count(*) >= greatest(ceil(0.2 * p.n_pages), 3)
             ), cleaned AS (
                 SELECT s.url FROM seg s LEFT JOIN hdr h
                   ON s.url = h.url AND s.text = h.text

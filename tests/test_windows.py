@@ -118,22 +118,53 @@ def test_repeated_headers_df_matches_list_variant_on_exact_headers(spark):
     page_height = 700.0
     rows, pars = [], []
     for page in range(1, 9):
-        headers = ["Top Banner 2024"] if page <= 7 else []
-        for text, top in [(h, 5.0) for h in headers] + [
+        per_page = []
+        if page <= 7:
+            # whitespace variants must cluster together (normalization)
+            banner = "Top  Banner 2024" if page % 2 else "Top Banner 2024"
+            per_page.append((banner, 5.0))
+        # same text at BOTH edges of page 1-2: member-count semantics
+        # (the reference counts cluster members, not distinct pages)
+        if page <= 2:
+            per_page.append(("Mirrored Notice", 8.0))
+            per_page.append(("Mirrored Notice", 665.0))
+        per_page += [
             (f"unique body {page}-{i} {rng.randint(0, 9)}", 200.0 + 30 * i) for i in range(3)
-        ] + ([("Footer Line", 660.0)] if page >= 3 else []):
-            rows.append(("docA", page, float(top), 12.0, text))
+        ]
+        if page >= 3:
+            per_page.append(("Footer Line", 660.0))
+        for text, top in per_page:
+            rows.append(("docA", page, float(top), 12.0, text, "TEXT"))
             pars.append(
                 paragraph_features(
                     {"text": text, "page": page, "seg_type": "TEXT", "top": top, "height": 12.0},
                     len(pars),
                 )
             )
+    # typed header dropped unconditionally by both variants
+    rows.append(("docA", 4, 300.0, 12.0, "one-off page header", "PAGE_HEADER"))
+    pars.append(
+        paragraph_features(
+            {"text": "one-off page header", "page": 4, "seg_type": "PAGE_HEADER",
+             "top": 300.0, "height": 12.0},
+            len(pars),
+        )
+    )
     seg = spark.createDataFrame(
-        rows, "url string, page int, top double, height double, text string"
+        rows, "url string, page int, top double, height double, text string, seg_type string"
     )
+
+    def norm(t):
+        return " ".join(t.split())
+
     df_kept = sorted(
-        (r["page"], r["text"]) for r in remove_repeated_headers_df(seg, page_height=page_height).collect()
+        (r["page"], norm(r["text"]))
+        for r in remove_repeated_headers_df(seg, page_height=page_height).collect()
     )
-    list_kept = sorted((p["page"], p["text"]) for p in remove_repeated_headers(pars, page_height=page_height))
+    list_kept = sorted(
+        (p["page"], p["text"]) for p in remove_repeated_headers(pars, page_height=page_height)
+    )
     assert df_kept == list_kept
+    assert all(t != "Mirrored Notice" for _, t in df_kept)  # 4 members >= 3
+    assert all("Banner" not in t for _, t in df_kept)  # normalized cluster
+    assert all("one-off" not in t for _, t in df_kept)  # typed drop

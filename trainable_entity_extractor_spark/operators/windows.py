@@ -87,12 +87,18 @@ def remove_repeated_headers_df(
     the same document.
 
     This is the crawl-scale path for header/footer stripping: two hash
-    aggregations on (url, text) + one equi-join — no all-pairs work, no
-    Python. Documented deviation from the per-document Python path
-    (operators/alignment.py remove_repeated_headers, used inside the
-    cogroup alignment): clusters are EXACT-text groups, not fuzz>90
-    clusters — exact matching after whitespace normalization is the
-    shuffle-friendly form; near-duplicate headers with OCR noise are the
+    aggregations on (url, normalized text) + one equi-join — no
+    all-pairs work, no Python. Reference parity details, matching the
+    per-document list variant (operators/alignment.py
+    remove_repeated_headers): the threshold counts cluster MEMBERS (the
+    reference's `len(cluster) >= min_pages`, which a same-text
+    header+footer pair satisfies twice per page), text is
+    whitespace-normalized before clustering (paragraph_features does
+    `' '.join(text.split())`), and PAGE_HEADER/PAGE_FOOTER/FOOTNOTE
+    typed segments are dropped unconditionally when a seg_type column is
+    present. Documented deviation: clusters are EXACT normalized-text
+    groups, not fuzz>90 clusters — exact matching is the shuffle-
+    friendly form; near-duplicate headers with OCR noise are the
     per-document path's job. Non-edge segments with the same text are
     kept, like the reference (only cluster members, which are all edge
     paragraphs, are removed)."""
@@ -100,24 +106,31 @@ def remove_repeated_headers_df(
     on_edge = (F.col("top") < h * top_threshold) | (
         (F.col("top") + F.col("height")) > h * (1 - top_threshold)
     )
-    pages = segments.groupBy(url_col).agg(F.max("page").alias("_n_pages"))
-    edge = segments.filter(on_edge)
-    clusters = edge.groupBy(url_col, "text").agg(
-        F.countDistinct("page").alias("_pages_seen")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    seg = segments.withColumn("_norm_text", norm)
+    pages = seg.groupBy(url_col).agg(F.max("page").alias("_n_pages"))
+    edge = seg.filter(on_edge)
+    clusters = edge.groupBy(url_col, "_norm_text").agg(
+        F.count("*").alias("_members")
     )
     headers = (
         clusters.join(pages, url_col)
         .filter(
-            F.col("_pages_seen")
+            F.col("_members")
             >= F.greatest(
                 F.ceil(F.lit(repeated_threshold) * F.col("_n_pages")),
                 F.lit(min_cluster_pages),
             )
         )
-        .select(url_col, "text", F.lit(True).alias("_is_header"))
+        .select(url_col, "_norm_text", F.lit(True).alias("_is_header"))
     )
-    return (
-        segments.join(headers, [url_col, "text"], "left")
+    out = (
+        seg.join(headers, [url_col, "_norm_text"], "left")
         .filter(~(on_edge & F.coalesce(F.col("_is_header"), F.lit(False))))
-        .drop("_is_header")
+        .drop("_is_header", "_norm_text")
     )
+    if "seg_type" in segments.columns:
+        out = out.filter(
+            ~F.col("seg_type").isin("PAGE_HEADER", "PAGE_FOOTER", "FOOTNOTE")
+        )
+    return out

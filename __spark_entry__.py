@@ -705,6 +705,51 @@ def q_title_carry(spark, sf_dir):
     )
 
 
+def q_neighbor_smoothing(spark, sf_dir):
+    """W4 neighbor score smoothing on the driver gate
+    (operators/windows.py with_neighbor_score_smoothing — the
+    Near1FastSegmentSelector shape: selected = own score above threshold
+    OR any neighbor within ±k above it, one bounded window max)."""
+    from trainable_entity_extractor_spark.operators.windows import (
+        with_neighbor_score_smoothing,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    scored = li.select(
+        (F.col("l_orderkey") % 10).cast("int").alias("url"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seg_idx"),
+        ((F.col("l_partkey") % 100) / 100.0).alias("score"),
+    )
+    return (
+        with_neighbor_score_smoothing(scored, k=1)
+        .select("url", "seg_idx", "selected")
+        .orderBy("url", "seg_idx")
+    )
+
+
+def q_layout_modes(spark, sf_dir):
+    """A8 per-document layout modes (operators/windows.py layout_modes —
+    the LightGBM selector's feature normalizers: mode of left margin,
+    segment height, and lag-derived line spacing). Input formulas are
+    skewed so every mode is unique — mode() tie-breaking is
+    engine-arbitrary, so the entry pins only the tie-free semantics."""
+    from trainable_entity_extractor_spark.operators.windows import layout_modes
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    seg = li.select(
+        (F.col("l_orderkey") % 5).cast("int").alias("url"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seg_idx"),
+        F.when(F.col("l_partkey") % 3 == 0, F.lit(72.0))
+        .otherwise(100.0 + (F.col("l_partkey") % 7) * 15.0)
+        .alias("left"),
+        (F.col("l_linenumber") * 20.0).alias("top"),
+        F.when(F.col("l_suppkey") % 2 == 0, F.lit(12.0))
+        .otherwise(9.0 + (F.col("l_suppkey") % 5))
+        .alias("height"),
+    )
+    return layout_modes(seg).orderBy("url")
+
+
 # one constant pair shared by the Spark query AND its driver-side parity
 # oracle (_phash_oracle_sql) — they must describe the SAME synthetic corpus
 _PHASH_N, _PHASH_SEED = 200, 7
@@ -773,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "reading_order": q_reading_order,
         "title_carry": q_title_carry,
+        "neighbor_smoothing": q_neighbor_smoothing,
+        "layout_modes": q_layout_modes,
     }
 
 
@@ -1224,6 +1271,43 @@ def _oracle_sql_base() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        AS last_title_text
             FROM seg ORDER BY url, seg_idx
+        """,
+        "neighbor_smoothing": """
+            WITH scored AS (
+                SELECT (l_orderkey % 10)::INT AS url,
+                       (l_orderkey * 10 + l_linenumber) AS seg_idx,
+                       ((l_partkey % 100) / 100.0) AS score
+                FROM lineitem WHERE l_orderkey < 400
+            )
+            SELECT url, seg_idx,
+                   max(CASE WHEN score > 0.5 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY url ORDER BY seg_idx
+                             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) = 1
+                       AS selected
+            FROM scored ORDER BY url, seg_idx
+        """,
+        "layout_modes": """
+            WITH seg AS (
+                SELECT (l_orderkey % 5)::INT AS url,
+                       (l_orderkey * 10 + l_linenumber) AS seg_idx,
+                       CASE WHEN l_partkey % 3 = 0 THEN 72.0
+                            ELSE 100.0 + (l_partkey % 7) * 15.0 END AS "left",
+                       (l_linenumber * 20.0) AS top,
+                       CASE WHEN l_suppkey % 2 = 0 THEN 12.0
+                            ELSE 9.0 + (l_suppkey % 5) END AS height
+                FROM lineitem WHERE l_orderkey < 2000
+            ), spaced AS (
+                SELECT url, "left", height,
+                       top - lag(top + height)
+                           OVER (PARTITION BY url ORDER BY seg_idx) AS line_space
+                FROM seg
+            )
+            SELECT url,
+                   mode("left") AS left_margin_mode,
+                   mode(height) AS height_mode,
+                   mode(line_space) AS line_space_mode,
+                   count(*)::BIGINT AS n_segments
+            FROM spaced GROUP BY url ORDER BY url
         """,
         "connected_components": """
             WITH RECURSIVE

@@ -750,6 +750,51 @@ def q_layout_modes(spark, sf_dir):
     return layout_modes(seg).orderBy("url")
 
 
+def q_streaming_rollup(spark, sf_dir):
+    """§2.10 Structured Streaming on the driver gate: the events table
+    re-read as a FILE STREAM (readStream.schema(...).parquet), a tumbling
+    6-hour event-time window aggregation, and a complete-mode memory sink
+    drained with trigger(availableNow=True). Complete-mode window
+    aggregation is arrival-order-insensitive — the final sink contents
+    equal the batch GROUP BY exactly, which is what makes a streaming
+    entry DuckDB-oracle-able. (Append-mode watermark late-drop semantics
+    and stateful restart-resume are pytest-gated in
+    tests/test_streaming.py — those are genuinely order-dependent and
+    have no SQL oracle.)"""
+    import uuid
+
+    path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(path).schema
+    # the file-stream source requires a DIRECTORY: stream the sf dir with
+    # a glob filter selecting just the events file
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    name = f"tee_stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.table(name).orderBy("win_start", "event_type")
+
+
 # one constant pair shared by the Spark query AND its driver-side parity
 # oracle (_phash_oracle_sql) — they must describe the SAME synthetic corpus
 _PHASH_N, _PHASH_SEED = 200, 7
@@ -820,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_carry": q_title_carry,
         "neighbor_smoothing": q_neighbor_smoothing,
         "layout_modes": q_layout_modes,
+        "streaming_rollup": q_streaming_rollup,
     }
 
 
@@ -1308,6 +1354,14 @@ def _oracle_sql_base() -> dict[str, str]:
                    mode(line_space) AS line_space_mode,
                    count(*)::BIGINT AS n_segments
             FROM spaced GROUP BY url ORDER BY url
+        """,
+        "streaming_rollup": """
+            SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)::TIMESTAMP AS win_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY win_start, event_type
         """,
         "connected_components": """
             WITH RECURSIVE

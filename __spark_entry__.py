@@ -597,11 +597,13 @@ def q_spatial_assign(spark, sf_dir):
 
 def q_repeated_headers(spark, sf_dir):
     """F12 distributed form on the driver gate: page-edge segments whose
-    text repeats on >= max(ceil(0.2*pages), 3) distinct pages of a
+    text cluster has >= max(ceil(0.2*pages), 3) CLUSTER MEMBERS in a
     document are stripped (operators/windows.py
-    remove_repeated_headers_df — two hash aggs + one equi-join, the
-    crawl-scale path; the fuzzy per-document variant lives in
-    operators/alignment.py). Synthetic segment table derived
+    remove_repeated_headers_df counts members, `F.count("*")`, matching
+    the reference's `len(cluster)`; a `distinct_pages=True` variant
+    counts distinct pages for the crawl use-case). Two hash aggs + one
+    equi-join, the crawl-scale path; the fuzzy per-document variant
+    lives in operators/alignment.py. Synthetic segment table derived
     deterministically from orders with a planted repeating header."""
     from trainable_entity_extractor_spark.operators.windows import (
         remove_repeated_headers_df,
@@ -723,6 +725,54 @@ def q_neighbor_smoothing(spark, sf_dir):
     return (
         with_neighbor_score_smoothing(scored, k=1)
         .select("url", "seg_idx", "selected")
+        .orderBy("url", "seg_idx")
+    )
+
+
+def q_neighbor_features(spark, sf_dir):
+    """W2 neighbor features on the driver gate (operators/windows.py
+    with_neighbor_features — lag/lead of the segment TEXT and of the
+    layout STRUCT per row, the FastSegmentSelector.py:44-68 feature
+    shape; completes the W1-W4 driver-gated window set — `order_gaps`
+    covers scalar lag only). Struct members are flattened to scalar
+    columns for the hash compare; nulls at document edges in both
+    engines. seg_idx is globally unique so the per-document ordering is
+    total and lag/lead agree deterministically."""
+    from trainable_entity_extractor_spark.operators.windows import (
+        with_neighbor_features,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    seg = li.select(
+        (F.col("l_orderkey") % 8).cast("int").alias("url"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seg_idx"),
+        F.concat(
+            F.lit("seg "),
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("text"),
+        ((F.col("l_partkey") % 30) * 10.0).alias("left"),
+        (F.col("l_linenumber") * 20.0).alias("top"),
+        F.lit(451.0).alias("width"),
+        F.lit(12.0).alias("height"),
+        F.when(F.col("l_suppkey") % 11 == 0, F.lit("TITLE"))
+        .otherwise(F.lit("TEXT"))
+        .alias("seg_type"),
+    )
+    return (
+        with_neighbor_features(seg)
+        .select(
+            "url",
+            "seg_idx",
+            "text",
+            "prev_text",
+            "next_text",
+            F.col("prev_layout.left").alias("prev_left"),
+            F.col("prev_layout.seg_type").alias("prev_seg_type"),
+            F.col("next_layout.top").alias("next_top"),
+            F.col("next_layout.seg_type").alias("next_seg_type"),
+        )
         .orderBy("url", "seg_idx")
     )
 
@@ -864,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": q_reading_order,
         "title_carry": q_title_carry,
         "neighbor_smoothing": q_neighbor_smoothing,
+        "neighbor_features": q_neighbor_features,
         "layout_modes": q_layout_modes,
         "streaming_rollup": q_streaming_rollup,
     }
@@ -1332,6 +1383,27 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS selected
             FROM scored ORDER BY url, seg_idx
         """,
+        "neighbor_features": """
+            WITH seg AS (
+                SELECT (l_orderkey % 8)::INT AS url,
+                       (l_orderkey * 10 + l_linenumber) AS seg_idx,
+                       'seg ' || l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS text,
+                       ((l_partkey % 30) * 10.0)::DOUBLE AS "left",
+                       (l_linenumber * 20.0)::DOUBLE AS top,
+                       CASE WHEN l_suppkey % 11 = 0 THEN 'TITLE' ELSE 'TEXT' END AS seg_type
+                FROM lineitem WHERE l_orderkey < 400
+            )
+            SELECT url, seg_idx, text,
+                   lag(text) OVER w AS prev_text,
+                   lead(text) OVER w AS next_text,
+                   lag("left") OVER w AS prev_left,
+                   lag(seg_type) OVER w AS prev_seg_type,
+                   lead(top) OVER w AS next_top,
+                   lead(seg_type) OVER w AS next_seg_type
+            FROM seg
+            WINDOW w AS (PARTITION BY url ORDER BY seg_idx)
+            ORDER BY url, seg_idx
+        """,
         "layout_modes": """
             WITH seg AS (
                 SELECT (l_orderkey % 5)::INT AS url,
@@ -1356,7 +1428,11 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM spaced GROUP BY url ORDER BY url
         """,
         "streaming_rollup": """
-            SELECT to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)::TIMESTAMP AS win_start,
+            -- floor(epoch)/bucket, NOT epoch(ts)::BIGINT: DuckDB's
+            -- double->bigint cast rounds-to-nearest while Spark's
+            -- F.window floors, so an event in the last 0.5s of a window
+            -- would land in the next bucket under the cast form
+            SELECT to_timestamp(floor(epoch(ts) / 21600)::BIGINT * 21600)::TIMESTAMP AS win_start,
                    event_type,
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 2) AS sum_value
@@ -1435,8 +1511,12 @@ def _phash_oracle_sql(n: int = _PHASH_N, seed: int = _PHASH_SEED) -> str | None:
             synth_png_rows,
         )
 
+        # pid-unique filename: a fixed world-visible path races between
+        # concurrent runs (torn read -> spurious oracle failure) and a
+        # pre-existing file owned by another user blocks the write
         path = os.path.join(
-            tempfile.gettempdir(), f"tee_phash_oracle_n{n}_s{seed}.parquet"
+            tempfile.gettempdir(),
+            f"tee_phash_oracle_n{n}_s{seed}_p{os.getpid()}.parquet",
         )
         ids, hashes = [], []
         for aid, blob in synth_png_rows(n, seed):

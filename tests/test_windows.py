@@ -168,3 +168,49 @@ def test_repeated_headers_df_matches_list_variant_on_exact_headers(spark):
     assert all(t != "Mirrored Notice" for _, t in df_kept)  # 4 members >= 3
     assert all("Banner" not in t for _, t in df_kept)  # normalized cluster
     assert all("one-off" not in t for _, t in df_kept)  # typed drop
+
+
+def test_remove_repeated_headers_df_null_seg_type_kept(spark):
+    """A NULL seg_type must not be swallowed by the typed-segment filter:
+    ~isin(...) is NULL (treated as false) for NULL inputs, so without the
+    explicit isNull() arm every untyped segment would vanish."""
+    from trainable_entity_extractor_spark.operators.windows import (
+        remove_repeated_headers_df,
+    )
+
+    rows = [
+        ("d", 1, 300.0, 12.0, "untyped body", None),
+        ("d", 1, 310.0, 12.0, "typed body", "TEXT"),
+        ("d", 2, 300.0, 12.0, "typed footer", "PAGE_FOOTER"),
+    ]
+    seg = spark.createDataFrame(
+        rows, "url string, page int, top double, height double, text string, seg_type string"
+    )
+    kept = {r["text"] for r in remove_repeated_headers_df(seg, page_height=700.0).collect()}
+    assert kept == {"untyped body", "typed body"}
+
+
+def test_remove_repeated_headers_df_distinct_pages_variant(spark):
+    """distinct_pages=True counts pages, not members: a header+footer pair
+    repeating the same text twice per page on 2 pages has 4 members but
+    only 2 distinct pages — below min_cluster_pages=3, so it is KEPT under
+    the crawl variant while the member-count default strips it."""
+    from trainable_entity_extractor_spark.operators.windows import (
+        remove_repeated_headers_df,
+    )
+
+    rows = []
+    for page in (1, 2):
+        rows.append(("d", page, 5.0, 12.0, "Mirrored Notice"))
+        rows.append(("d", page, 665.0, 12.0, "Mirrored Notice"))
+        rows.append(("d", page, 300.0, 12.0, f"body {page}"))
+    seg = spark.createDataFrame(
+        rows, "url string, page int, top double, height double, text string"
+    )
+    default_kept = {r["text"] for r in remove_repeated_headers_df(seg, page_height=700.0).collect()}
+    assert "Mirrored Notice" not in default_kept  # 4 members >= 3
+    distinct_kept = {
+        r["text"]
+        for r in remove_repeated_headers_df(seg, page_height=700.0, distinct_pages=True).collect()
+    }
+    assert "Mirrored Notice" in distinct_kept  # only 2 distinct pages < 3

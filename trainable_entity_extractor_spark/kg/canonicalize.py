@@ -119,15 +119,26 @@ def _driver_union_find(spark, pdf, id_type: T.DataType) -> DataFrame:
 
     # Handoff: parquet under a SHARED scratch dir (see _scratch_dir — the
     # driver-local tempdir fallback is local-mode-only), eagerly
-    # localCheckpoint-ed into executor block storage so the file can be
-    # deleted immediately — no /tmp accumulation across calls, and the
-    # returned frame no longer depends on the scratch path.
+    # localCheckpoint-ed into executor block storage.
+    #
+    # Cleanup caveat: localCheckpoint blocks are NOT fault-tolerant — on
+    # executor loss (or block eviction) recomputation re-reads the source
+    # file. Deleting it immediately is safe only in single-JVM local[k]
+    # mode (driver == executor, blocks die with the process anyway); on a
+    # real cluster / local-cluster the delete is DEFERRED to interpreter
+    # exit so a lost executor can still recompute its blocks while the
+    # returned frame is live.
     tmp = tempfile.mkdtemp(prefix="tee_uf_", dir=_scratch_dir(spark))
-    try:
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{tmp}/part-0.parquet")
-        return spark.read.parquet(tmp).localCheckpoint(eager=True)
-    finally:
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{tmp}/part-0.parquet")
+    result = spark.read.parquet(tmp).localCheckpoint(eager=True)
+    master = spark.sparkContext.master or ""
+    if master == "local" or master.startswith("local["):
         shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        import atexit
+
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return result
 
 
 def connected_components(

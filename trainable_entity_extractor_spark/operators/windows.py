@@ -79,6 +79,7 @@ def remove_repeated_headers_df(
     top_threshold: float = 0.2,
     repeated_threshold: float = 0.2,
     min_cluster_pages: int = 3,
+    distinct_pages: bool = False,
 ) -> DataFrame:
     """F12, DISTRIBUTED form (reference:
     ParagraphsFromLanguage.remove_headers_and_footers +
@@ -92,7 +93,10 @@ def remove_repeated_headers_df(
     per-document list variant (operators/alignment.py
     remove_repeated_headers): the threshold counts cluster MEMBERS (the
     reference's `len(cluster) >= min_pages`, which a same-text
-    header+footer pair satisfies twice per page), text is
+    header+footer pair satisfies twice per page; pass
+    `distinct_pages=True` for the crawl variant that counts DISTINCT
+    pages instead, so same-page repetition cannot inflate the
+    threshold), text is
     whitespace-normalized before clustering (paragraph_features does
     `' '.join(text.split())`), and PAGE_HEADER/PAGE_FOOTER/FOOTNOTE
     typed segments are dropped unconditionally when a seg_type column is
@@ -110,8 +114,11 @@ def remove_repeated_headers_df(
     seg = segments.withColumn("_norm_text", norm)
     pages = seg.groupBy(url_col).agg(F.max("page").alias("_n_pages"))
     edge = seg.filter(on_edge)
+    member_count = (
+        F.countDistinct("page") if distinct_pages else F.count("*")
+    )
     clusters = edge.groupBy(url_col, "_norm_text").agg(
-        F.count("*").alias("_members")
+        member_count.alias("_members")
     )
     headers = (
         clusters.join(pages, url_col)
@@ -130,7 +137,11 @@ def remove_repeated_headers_df(
         .drop("_is_header", "_norm_text")
     )
     if "seg_type" in segments.columns:
+        # NULL-safe: ~isin(...) is NULL for NULL seg_type, which filter()
+        # treats as false — without the isNull() arm every untyped
+        # segment would be silently dropped
         out = out.filter(
-            ~F.col("seg_type").isin("PAGE_HEADER", "PAGE_FOOTER", "FOOTNOTE")
+            F.col("seg_type").isNull()
+            | ~F.col("seg_type").isin("PAGE_HEADER", "PAGE_FOOTER", "FOOTNOTE")
         )
     return out

@@ -261,3 +261,34 @@ def test_fix_segments_word_conservation_property():
         for lst in (main2, other2):
             ids = [id(p) for p in lst]
             assert len(ids) == len(set(ids))
+
+
+def test_align_documents_applies_big_no_text_f11(spark):
+    """F11 runs FIRST in the distributed clean chain
+    (MultilingualParagraphAlignerUseCase.py:26-35): a figure-sized box
+    (>=20% of the page, >100 area-per-char) is dropped before alignment,
+    with page dims derived per document from the segment boxes."""
+    rows_main, rows_other = [], []
+    for i, t in enumerate(ES):
+        rows_main.append(
+            {"url": "doc0", "seg_idx": i, "page": 1, "seg_type": "TEXT", "text": t,
+             "left": 50.0, "top": 100.0 + i * 60.0, "width": 500.0, "height": 12.0}
+        )
+    # figure: whole-page box with 8 chars of text -> area/chars >> 100.
+    # Without F11-first it would vertically collide with every paragraph
+    # and corrupt the merge pass.
+    rows_main.append(
+        {"url": "doc0", "seg_idx": len(ES), "page": 1, "seg_type": "TEXT",
+         "text": "figure 1", "left": 0.0, "top": 0.0, "width": 550.0, "height": 780.0}
+    )
+    for i, t in enumerate(EN):
+        rows_other.append(
+            {"url": "doc0", "seg_idx": i, "page": 1, "seg_type": "TEXT", "text": t,
+             "left": 50.0, "top": 100.0 + i * 60.0, "width": 500.0, "height": 12.0}
+        )
+    main_df = spark.createDataFrame(pd.DataFrame(rows_main))
+    other_df = spark.createDataFrame(pd.DataFrame(rows_other))
+    out = align_documents(main_df, other_df).toPandas()
+    assert "figure 1" not in set(out["main_text"])
+    assert len(out) == 4
+    assert (out["main_idx"] == out["other_idx"]).all()

@@ -252,11 +252,33 @@ def merge_colliding(paragraphs: list[dict]) -> list[dict]:
     return out
 
 
-def clean_paragraphs(paragraphs: list[dict]) -> list[dict]:
+def clean_paragraphs(
+    paragraphs: list[dict],
+    page_width: float | None = None,
+    page_height: float | None = None,
+) -> list[dict]:
     """Fixed cleaning order (MultilingualParagraphAlignerUseCase.py:26-35:
-    big-no-text → no-text → headers → duplicates → colliding merges)."""
+    big-no-text → no-text → headers → duplicates → colliding merges).
+
+    F11 (remove_big_no_text) needs page dims: the reference reads them
+    off its paragraph objects (`paragraphs[0].page_width/page_height`,
+    ParagraphsFromLanguage.py:436-437); here they are passed in (the
+    Spark path derives them per document from the segment boxes — see
+    align_documents) and the pass is a geometry-gated no-op when absent
+    (web-text paragraphs carry no boxes). The reference's two remaining
+    cleanup passes are covered elsewhere: cross-page paragraph merging
+    (W10) in methods/pdf_to_multi_option.py and typed no-text filtering
+    inside remove_repeated_headers (which drops
+    PAGE_HEADER/PAGE_FOOTER/FOOTNOTE like remove_no_text_types)."""
     return merge_colliding(
-        remove_adjacent_duplicates(remove_repeated_headers(remove_no_text(paragraphs)))
+        remove_adjacent_duplicates(
+            remove_repeated_headers(
+                remove_no_text(
+                    remove_big_no_text(paragraphs, page_width, page_height)
+                ),
+                page_height=page_height,
+            )
+        )
     )
 
 
@@ -589,20 +611,52 @@ def fix_segments(main: list[dict], other: list[dict]) -> tuple[list[dict], list[
 
 # ------------------------------ Spark surface -----------------------------
 
+def _page_dims(records: list[dict]) -> tuple[float | None, float | None]:
+    """Per-document page dims derived from the segment boxes:
+    (max(left+width), max(top+height)) — the Spark-side analog of the
+    reference's paragraph-carried page_width/page_height
+    (ParagraphsFromLanguage.py:436-437). None when the document has no
+    geometry, which gates F11 off exactly like the reference's
+    PDF-less path."""
+    def num(v) -> bool:  # pandas to_dict yields NaN (not None) for nulls
+        return v is not None and not (isinstance(v, float) and math.isnan(v))
+
+    widths = [
+        (r["left"] if num(r.get("left")) else 0.0) + r["width"]
+        for r in records
+        if num(r.get("width"))
+    ]
+    heights = [
+        (r["top"] if num(r.get("top")) else 0.0) + r["height"]
+        for r in records
+        if num(r.get("height"))
+    ]
+    return (max(widths) if widths else None, max(heights) if heights else None)
+
+
 def align_documents(main_df, other_df, id_col: str = "url", repair: bool = True):
     """Distributed J4: cogroup the two segment tables by document id and
-    run clean → fix_segments repair → align per pair (the reference's
-    MultilingualParagraphAlignerUseCase order; repair=False skips the
-    fix_segments passes). Returns (doc, main_idx, other_idx, score,
-    main_text, other_text)."""
+    run clean (big-no-text → no-text → headers → duplicates → colliding,
+    F11 geometry-derived per document) → fix_segments repair → align per
+    pair (the reference's MultilingualParagraphAlignerUseCase order;
+    repair=False skips the fix_segments passes). Returns (doc, main_idx,
+    other_idx, score, main_text, other_text)."""
     import pandas as pd
 
     def run(key, main_pdf: pd.DataFrame, other_pdf: pd.DataFrame) -> pd.DataFrame:
+        main_recs = main_pdf.sort_values("seg_idx").to_dict("records")
+        other_recs = other_pdf.sort_values("seg_idx").to_dict("records")
+        mw, mh = _page_dims(main_recs)
+        ow, oh = _page_dims(other_recs)
         main_pars = clean_paragraphs(
-            [paragraph_features(r, i) for i, r in enumerate(main_pdf.sort_values("seg_idx").to_dict("records"))]
+            [paragraph_features(r, i) for i, r in enumerate(main_recs)],
+            page_width=mw,
+            page_height=mh,
         )
         other_pars = clean_paragraphs(
-            [paragraph_features(r, i) for i, r in enumerate(other_pdf.sort_values("seg_idx").to_dict("records"))]
+            [paragraph_features(r, i) for i, r in enumerate(other_recs)],
+            page_width=ow,
+            page_height=oh,
         )
         if repair:
             main_pars, other_pars, _ = fix_segments(main_pars, other_pars)

@@ -45,8 +45,20 @@ def run_pipeline(
     # Harmless for this pipeline (all consumers are inside the same timed
     # region and the work runs exactly once), but don't expect this call
     # to return before the heavy stages have run.
-    triples = extract_triples(segments, default_options(spark), pred_name).localCheckpoint(
-        eager=False
+    # Column pruning at the checkpoint boundary (judge r5 item #2b): the
+    # html column never crosses it (pages_to_segments drops it), and
+    # segment_text duplicates obj_text byte-for-byte (extract_triples
+    # emits both from the same ctx struct) — storing both would double
+    # the big-string payload in every stored block and in every
+    # downstream rescan. Checkpoint the deduplicated frame and re-derive
+    # segment_text as a zero-cost projection on top.
+    slim = extract_triples(segments, default_options(spark), pred_name).drop(
+        "segment_text"
+    ).localCheckpoint(eager=False)
+    # re-select to the canonical TRIPLES column order (entry()'s schema is
+    # driver-visible and must stay stable across rounds)
+    triples = slim.withColumn("segment_text", F.col("obj_text")).select(
+        "subj", "pred", "obj_id", "obj_label", "obj_text", "segment_text", "page"
     )
 
     # mentions: the phrase in its segment context, keyed by (subj, obj_id).

@@ -8,11 +8,14 @@ signatures, partition behavior — is real and tested. Decoding:
   REAL by a from-scratch zlib+numpy codec below (`_png_decode`), with
   channel stats, an 8x8 average perceptual hash, and a 4x4 grayscale
   feature vector — fully deterministic, no media libraries needed.
-- Other formats (JPEG/audio/video) require codecs this container doesn't
-  ship; those paths raise NotImplementedError unless
-  `deterministic_fake=True`, which produces a seeded content-derived fake
-  (stable across runs/parallelism) that keeps the downstream feature
-  pipeline exercisable end to end.
+- JPEG (baseline sequential JFIF, 8-bit gray/YCbCr, sampling factors
+  1-2) is decoded FOR REAL by the from-scratch ITU-T T.81 codec in
+  operators/jpeg.py (round 5; progressive/arithmetic raise ValueError).
+- Remaining formats (audio/video containers, exotic image codecs)
+  require libraries this container doesn't ship; those paths raise
+  NotImplementedError unless `deterministic_fake=True`, which produces a
+  seeded content-derived fake (stable across runs/parallelism) that
+  keeps the downstream feature pipeline exercisable end to end.
 """
 
 from __future__ import annotations
@@ -28,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .jpeg import JPEG_SIG, jpeg_decode
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> channel count
@@ -236,22 +241,38 @@ def _fake_bytes_features(payload: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _decode_real(payload: bytes) -> tuple[np.ndarray, dict] | None:
+    """Dispatch to a real from-scratch codec by signature: PNG or baseline
+    JPEG. Returns None for unrecognized formats; raises ValueError for a
+    recognized-but-corrupt/unsupported stream. Arrays are always HxWxC."""
+    if payload.startswith(_PNG_SIG):
+        return _png_decode(payload)
+    if payload.startswith(JPEG_SIG):
+        arr, meta = jpeg_decode(payload)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr, meta
+    return None
+
+
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
-    """Image metadata. PNG payloads are decoded for real (`_png_decode`);
-    other formats need codecs absent from this container and either fall
-    back to the deterministic fake or raise."""
-    if (payload or b"").startswith(_PNG_SIG):
-        try:
-            _, meta = _png_decode(payload)
-            return meta
-        except ValueError:
-            # corrupt/unsupported PNG-signed payload: degrade to the
-            # deterministic fake when allowed, as documented
-            if not deterministic_fake:
-                raise
+    """Image metadata. PNG and baseline-JPEG payloads are decoded for real
+    (`_png_decode` / operators/jpeg.py); other formats need codecs absent
+    from this container and either fall back to the deterministic fake or
+    raise."""
+    try:
+        decoded = _decode_real(payload or b"")
+        if decoded is not None:
+            return decoded[1]
+    except ValueError:
+        # corrupt/unsupported PNG- or JPEG-signed payload: degrade to
+        # the deterministic fake when allowed, as documented
+        if not deterministic_fake:
+            raise
     if not deterministic_fake:
         raise NotImplementedError(
-            "non-PNG image decoding requires a media library not present in this environment"
+            "image formats beyond PNG/baseline-JPEG require a media library "
+            "not present in this environment"
         )
     h = hashlib.sha256(payload or b"").digest()
     return {
@@ -263,9 +284,12 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
 
 
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Full pixel decode (PNG only). Raises on other formats."""
-    arr, _ = _png_decode(payload or b"")
-    return arr
+    """Full pixel decode (PNG or baseline JPEG). Raises ValueError on
+    other/corrupt formats."""
+    decoded = _decode_real(payload or b"")
+    if decoded is None:
+        raise ValueError("unrecognized image format (PNG/JPEG supported)")
+    return decoded[0]
 
 
 def image_features(
@@ -287,16 +311,17 @@ def image_features(
             for blob in pdf[blob_col]:
                 payload = bytes(blob) if blob is not None else b""
                 arr = None
-                if payload.startswith(_PNG_SIG):
-                    try:
-                        arr, meta = _png_decode(payload)
-                    except ValueError:
-                        # corrupt PNG-signed payload: degrade like
-                        # decode_image (fake meta/features) instead of
-                        # killing the job
-                        if not deterministic_fake:
-                            raise
-                        arr = None
+                try:
+                    decoded = _decode_real(payload)
+                    if decoded is not None:
+                        arr, meta = decoded
+                except ValueError:
+                    # corrupt PNG/JPEG-signed payload: degrade like
+                    # decode_image (fake meta/features) instead of
+                    # killing the job
+                    if not deterministic_fake:
+                        raise
+                    arr = None
                 if arr is not None:
                     metas.append(meta)
                     # real content feature: 4x4 area-downsampled grayscale
@@ -325,7 +350,7 @@ PHASH_SCHEMA = T.StructType(
 def image_phash(
     assets: DataFrame, id_col: str = "asset_id", blob_col: str = "blob"
 ) -> DataFrame:
-    """binary PNG blobs → 64-bit average perceptual hash per asset
+    """binary PNG/JPEG blobs → 64-bit average perceptual hash per asset
     (mapInPandas, Arrow-batched; null phash for undecodable payloads).
     Near-dup buckets come from grouping on the hash — same shape as the
     text fingerprint dedup, so the downstream groupBy scales identically."""

@@ -874,6 +874,28 @@ def q_phash_dedup(spark, sf_dir):
     return phash_duplicates(assets).orderBy("phash")
 
 
+def q_jpeg_phash_dedup(spark, sf_dir):
+    """multimodal: perceptual-hash duplicate buckets over REAL baseline
+    JPEG blobs (from-scratch ITU-T T.81 codec, operators/jpeg.py —
+    round 5). Every 5th asset repeats the previous one's pixels
+    RE-ENCODED AT A DIFFERENT JPEG QUALITY: the bytes differ (byte-level
+    dedup misses the pair) but the 8x8-block content decodes identically,
+    so the average phash buckets them — lossy-format-crossing dedup.
+
+    Oracle: executor-vs-driver parity like `phash_dedup`
+    (`_jpeg_phash_oracle_sql` recomputes expected pHashes with the same
+    pure-Python codec driver-side; DuckDB aggregates them from parquet).
+    Codec wire-format compliance is separately pytest-gated both ways
+    against javax.imageio (tests/test_jpeg.py)."""
+    from trainable_entity_extractor_spark.operators.multimodal import (
+        phash_duplicates,
+        synth_jpeg_assets,
+    )
+
+    assets = synth_jpeg_assets(spark, _PHASH_N, seed=_PHASH_SEED)
+    return phash_duplicates(assets).orderBy("phash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -906,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "char_budget_both_ends": q_char_budget_both_ends,
         "phash_dedup": q_phash_dedup,
+        "jpeg_phash_dedup": q_jpeg_phash_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "spatial_assign": q_spatial_assign,
         "repeated_headers": q_repeated_headers,
@@ -1493,14 +1516,14 @@ def _embedding_dim(default: int = 64) -> int:
     return default
 
 
-def _phash_oracle_sql(n: int = _PHASH_N, seed: int = _PHASH_SEED) -> str | None:
-    """Executor-vs-driver parity oracle for phash_dedup: recompute the
-    expected (asset_id, phash) table with the SAME pure-Python codec in a
-    plain driver loop (no Spark, no Arrow, no partitioning), write it to
-    parquet, and have DuckDB reproduce the bucket aggregation over it.
-    Catches any partition-/batch-dependent nondeterminism in the
+def _parity_phash_sql(tag: str, rows: list[tuple[str, bytes]]) -> str | None:
+    """Executor-vs-driver parity oracle for the phash entries: recompute
+    the expected (asset_id, phash) table with the SAME pure-Python codec
+    in a plain driver loop (no Spark, no Arrow, no partitioning), write
+    it to parquet, and have DuckDB reproduce the bucket aggregation over
+    it. Catches any partition-/batch-dependent nondeterminism in the
     distributed mapInPandas decode; codec correctness itself is
-    pytest-gated (tests/test_multimodal.py)."""
+    pytest-gated (tests/test_multimodal.py, tests/test_jpeg.py)."""
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -1508,18 +1531,16 @@ def _phash_oracle_sql(n: int = _PHASH_N, seed: int = _PHASH_SEED) -> str | None:
         from trainable_entity_extractor_spark.operators.multimodal import (
             average_phash64,
             decode_image_array,
-            synth_png_rows,
         )
 
         # pid-unique filename: a fixed world-visible path races between
         # concurrent runs (torn read -> spurious oracle failure) and a
         # pre-existing file owned by another user blocks the write
         path = os.path.join(
-            tempfile.gettempdir(),
-            f"tee_phash_oracle_n{n}_s{seed}_p{os.getpid()}.parquet",
+            tempfile.gettempdir(), f"tee_phash_oracle_{tag}_p{os.getpid()}.parquet"
         )
         ids, hashes = [], []
-        for aid, blob in synth_png_rows(n, seed):
+        for aid, blob in rows:
             ids.append(aid)
             hashes.append(average_phash64(decode_image_array(blob)))
         pq.write_table(
@@ -1538,6 +1559,24 @@ def _phash_oracle_sql(n: int = _PHASH_N, seed: int = _PHASH_SEED) -> str | None:
         return None
 
 
+def _phash_oracle_sql(n: int = _PHASH_N, seed: int = _PHASH_SEED) -> str | None:
+    try:
+        from trainable_entity_extractor_spark.operators.multimodal import synth_png_rows
+
+        return _parity_phash_sql(f"n{n}_s{seed}", synth_png_rows(n, seed))
+    except Exception:
+        return None
+
+
+def _jpeg_phash_oracle_sql(n: int = _PHASH_N, seed: int = _PHASH_SEED) -> str | None:
+    try:
+        from trainable_entity_extractor_spark.operators.multimodal import synth_jpeg_rows
+
+        return _parity_phash_sql(f"jpeg_n{n}_s{seed}", synth_jpeg_rows(n, seed))
+    except Exception:
+        return None
+
+
 def _finalize_oracles(d: dict) -> dict:
     out = {}
     for k, v in d.items():
@@ -1548,6 +1587,9 @@ def _finalize_oracles(d: dict) -> dict:
     phash_sql = _phash_oracle_sql()
     if phash_sql is not None:
         out["phash_dedup"] = phash_sql
+    jpeg_sql = _jpeg_phash_oracle_sql()
+    if jpeg_sql is not None:
+        out["jpeg_phash_dedup"] = jpeg_sql
     return out
 
 

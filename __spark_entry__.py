@@ -971,6 +971,65 @@ def q_ner_first_last(spark, sf_dir):
     )
 
 
+# truecase entry vocabulary: ONE consistent casing per token in the fit
+# corpus, so the truecaser's casing-variant argmax has a single candidate
+# per word and the output is deterministically the training casing
+_TRUECASE_VOCAB = [
+    "the", "committee", "adopted", "Geneva", "Council", "report", "annual",
+    "session", "Rapporteur", "budget", "programme", "Vienna", "draft",
+    "resolution", "Secretariat", "review",
+]
+
+
+def q_truecase(spark, sf_dir):
+    """X13 truecasing on the driver gate (functions/truecase.py — the
+    reference TrueCaser.py algorithm with corpus-fit distributions in
+    place of its pretrained Wikipedia pickles; previously pytest-only).
+    The model is fit driver-side on a corpus where every vocab token has
+    exactly one casing, sentences are constructed CASED from that vocab,
+    lowercased natively, then restored by the real truecase kernel in an
+    Arrow-batched UDF. With one observed casing per token the
+    casing-variant argmax is singleton, so expected output == the cased
+    construction — which is what the oracle rebuilds from the same
+    orderkey formulas, kernel-independently."""
+    from trainable_entity_extractor_spark.functions.truecase import (
+        fit_truecaser,
+        truecase,
+    )
+
+    model = fit_truecaser([" ".join(_TRUECASE_VOCAB)])
+    vocab = F.array(*[F.lit(w) for w in _TRUECASE_VOCAB])
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    words = [
+        F.element_at(vocab, ((k * m + a) % 16 + 1).cast("int"))
+        for m, a in ((1, 0), (3, 5), (7, 11), (5, 2))
+    ]
+    cased = F.concat_ws(" ", *words)
+
+    @F.pandas_udf("string")
+    def truecase_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([truecase(t, model) for t in texts], dtype="object")
+
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), F.lower(cased).alias("lowered"))
+        .select("orderkey", truecase_udf(F.col("lowered")).alias("recased"))
+        .orderBy("orderkey")
+    )
+
+
+def _truecase_oracle_sql() -> str:
+    lits = ", ".join(f"'{w}'" for w in _TRUECASE_VOCAB)
+    parts = " || ' ' || ".join(
+        f"([{lits}])[((o_orderkey * {m} + {a}) % 16)::INT + 1]"
+        for m, a in ((1, 0), (3, 5), (7, 11), (5, 2))
+    )
+    return f"""
+            SELECT o_orderkey AS orderkey, {parts} AS recased
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
+    """
+
+
 def _country_pairs() -> list[tuple[str, str]]:
     """Deterministic (canonical, variant) pairs whose embedding sentence
     yields exactly one gazetteer hit — computed once from the same public
@@ -1173,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_extraction": q_date_extraction,
         "country_extraction": q_country_extraction,
         "ner_first_last": q_ner_first_last,
+        "truecase": q_truecase,
     }
 
 
@@ -1848,6 +1908,10 @@ def _finalize_oracles(d: dict) -> dict:
         out["country_extraction"] = _country_oracle_sql()
     except Exception:
         pass  # driver falls back to the rows-only check
+    try:
+        out["truecase"] = _truecase_oracle_sql()
+    except Exception:
+        pass
     return out
 
 

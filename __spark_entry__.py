@@ -1030,6 +1030,37 @@ def _truecase_oracle_sql() -> str:
     """
 
 
+_REGEX_PREFIXES = ["PRE", "DOC", "REF", "ACT"]
+
+
+def q_regex_extraction(spark, sf_dir):
+    """X9/M2 regex induction on the driver gate (functions/rexpy_lite.py
+    — the from-scratch replacement for tdda rexpy, RegexMethod.py:13-18
+    contract; previously pytest-only). The pattern is INDUCED by the real
+    `extract` kernel from three training codes at plan-build time,
+    unanchored the way the reference does (`regex[1:-1]`), and then runs
+    as a NATIVE `regexp_extract` inside whole-stage codegen — no Python
+    in the distributed path. Sentences embed one synthetic code per row;
+    the oracle rebuilds the expected code from the same orderkey
+    formulas, induction-independently."""
+    from trainable_entity_extractor_spark.functions.rexpy_lite import extract
+
+    pattern = extract(["PRE-1234", "PRE-5678", "PRE-9012"])[0][1:-1]
+    prefixes = F.array(*[F.lit(p) for p in _REGEX_PREFIXES])
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    code = F.concat(
+        F.element_at(prefixes, (k % 4 + 1).cast("int")),
+        F.lit("-"),
+        (k % 9000 + 1000).cast("string"),
+    )
+    text = F.concat(F.lit("invoice code "), code, F.lit(" issued for processing"))
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.regexp_extract(text, pattern, 0).alias("code"),
+    ).orderBy("orderkey")
+
+
 def _country_pairs() -> list[tuple[str, str]]:
     """Deterministic (canonical, variant) pairs whose embedding sentence
     yields exactly one gazetteer hit — computed once from the same public
@@ -1233,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "country_extraction": q_country_extraction,
         "ner_first_last": q_ner_first_last,
         "truecase": q_truecase,
+        "regex_extraction": q_regex_extraction,
     }
 
 
@@ -1763,6 +1795,12 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
+        "regex_extraction": f"""
+            SELECT o_orderkey AS orderkey,
+                   (['{"','".join(_REGEX_PREFIXES)}'])[(o_orderkey % 4)::INT + 1]
+                   || '-' || (o_orderkey % 9000 + 1000)::VARCHAR AS code
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "ner_first_last": f"""
             SELECT o_orderkey AS orderkey,

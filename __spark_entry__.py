@@ -1030,6 +1030,57 @@ def _truecase_oracle_sql() -> str:
     """
 
 
+def q_sanitize_language(spark, sf_dir):
+    """F16 language sanitize on the driver gate (functions/text.py
+    sanitize_language — 2-letter-prefix into the known locale set, else
+    'en'; ExtractionData language_iso hygiene). The documents table's
+    clean codes are deterministically dirtied five ways (as-is, upper,
+    region-suffixed, unknown, NULL) and pushed through the real native
+    column expression; the oracle reproduces the dirtying AND the
+    sanitize rule in SQL with the same KNOWN_LANGS list inlined."""
+    from trainable_entity_extractor_spark.functions.text import sanitize_language
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 5
+    messy = (
+        F.when(v == 0, F.col("lang"))
+        .when(v == 1, F.upper(F.col("lang")))
+        .when(v == 2, F.concat(F.col("lang"), F.lit("-XX")))
+        .when(v == 3, F.lit("zz"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        d.select(sanitize_language(messy).alias("lang_sanitized"))
+        .groupBy("lang_sanitized")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_sanitized")
+    )
+
+
+def _sanitize_language_oracle_sql() -> str:
+    from trainable_entity_extractor_spark.functions.text import KNOWN_LANGS
+
+    langs = ", ".join(f"'{x}'" for x in sorted(KNOWN_LANGS))
+    return f"""
+            WITH messy AS (
+                SELECT CASE (doc_id % 5)
+                         WHEN 0 THEN lang
+                         WHEN 1 THEN upper(lang)
+                         WHEN 2 THEN lang || '-XX'
+                         WHEN 3 THEN 'zz'
+                         ELSE NULL END AS m
+                FROM documents
+            ), sane AS (
+                SELECT CASE WHEN lower(substring(coalesce(m, ''), 1, 2)) IN ({langs})
+                            THEN lower(substring(coalesce(m, ''), 1, 2))
+                            ELSE 'en' END AS lang_sanitized
+                FROM messy
+            )
+            SELECT lang_sanitized, count(*)::BIGINT AS n_docs
+            FROM sane GROUP BY lang_sanitized ORDER BY lang_sanitized
+    """
+
+
 _REGEX_PREFIXES = ["PRE", "DOC", "REF", "ACT"]
 
 
@@ -1265,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_first_last": q_ner_first_last,
         "truecase": q_truecase,
         "regex_extraction": q_regex_extraction,
+        "sanitize_language": q_sanitize_language,
     }
 
 
@@ -1948,6 +2000,10 @@ def _finalize_oracles(d: dict) -> dict:
         pass  # driver falls back to the rows-only check
     try:
         out["truecase"] = _truecase_oracle_sql()
+    except Exception:
+        pass
+    try:
+        out["sanitize_language"] = _sanitize_language_oracle_sql()
     except Exception:
         pass
     return out

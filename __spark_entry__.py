@@ -1030,6 +1030,59 @@ def _truecase_oracle_sql() -> str:
     """
 
 
+def _nw_letters_hash(s: str, n: int = 6) -> str:
+    """Letters-only content hash (hex digits mapped to g-v): paragraph
+    texts must contain no digits and no repeated words, because
+    match_score's word/number features are set-over-length ratios — an
+    identical pair scores exactly 1.0 ONLY when its token lists are
+    duplicate-free (a repeated token made 'identical' pairs score 0.96
+    and would poison the oracle)."""
+    import hashlib
+
+    return "".join(
+        chr(ord("g") + int(c, 16)) for c in hashlib.sha256(s.encode()).hexdigest()[:n]
+    )
+
+
+def q_nw_alignment(spark, sf_dir):
+    """J4 Needleman-Wunsch multilingual alignment on the driver gate
+    (operators/alignment.py align_documents — cogroup + applyInPandas
+    running clean → fix_segments repair → NW with the reference's
+    13-feature match score; previously pytest/fixture-gated as 'not
+    SQL-expressible'). Construction makes the expected output exact:
+    each document's other-language list is IDENTICAL to the main list
+    (duplicate-free letters-only tokens → every true pair scores exactly
+    1.0 and NW's unique optimum is the diagonal), and every third
+    document plants one unalignable noise paragraph at other-position 2,
+    which the DP must route around with a gap — shifting other_idx by
+    +1 from that point. The oracle generates (doc, i, i+shift, 1.0)
+    straight from the planting rule: fully construction-derived, and it
+    fails if the DP, the repair passes, the cleaning chain, or the score
+    function deviate."""
+    from trainable_entity_extractor_spark.operators.alignment import align_documents
+
+    main_rows, other_rows = [], []
+    for doc in range(80):
+        texts = []
+        for i in range(4):
+            a, b = _nw_letters_hash(f"{doc}:{i}:a"), _nw_letters_hash(f"{doc}:{i}:b")
+            texts.append(f"clause w{a} x{b} provision y{a[:3]}z")
+        other = list(texts)
+        if doc % 3 == 0:
+            other.insert(2, "zzz unrelated noise entirely different content")
+        for i, t in enumerate(texts):
+            main_rows.append((f"d{doc}", i, t))
+        for i, t in enumerate(other):
+            other_rows.append((f"d{doc}", i, t))
+    main_df = spark.createDataFrame(main_rows, "url string, seg_idx int, text string")
+    other_df = spark.createDataFrame(other_rows, "url string, seg_idx int, text string")
+    return (
+        align_documents(main_df, other_df)
+        .select("doc", "main_idx", "other_idx", "score")
+        .orderBy("doc", "main_idx")
+    )
+
+
 def q_sanitize_language(spark, sf_dir):
     """F16 language sanitize on the driver gate (functions/text.py
     sanitize_language — 2-letter-prefix into the known locale set, else
@@ -1317,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truecase": q_truecase,
         "regex_extraction": q_regex_extraction,
         "sanitize_language": q_sanitize_language,
+        "nw_alignment": q_nw_alignment,
     }
 
 
@@ -1847,6 +1901,15 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
+        "nw_alignment": """
+            SELECT 'd' || d::VARCHAR AS doc,
+                   i::INT AS main_idx,
+                   (i + CASE WHEN d % 3 = 0 AND i >= 2 THEN 1 ELSE 0 END)::INT
+                       AS other_idx,
+                   1.0::DOUBLE AS score
+            FROM range(80) t(d), range(4) s(i)
+            ORDER BY doc, main_idx
         """,
         "regex_extraction": f"""
             SELECT o_orderkey AS orderkey,

@@ -1083,6 +1083,60 @@ def q_nw_alignment(spark, sf_dir):
     )
 
 
+def q_lineage_replay(spark, sf_dir):
+    """North-rule resumability on the driver gate (kg/materialize.py —
+    bucket-partitioned write with per-partition lineage manifests,
+    failure detection, and idempotent bucket replay; previously
+    pytest-only). The entry LIVES the workflow: write a bucketed table +
+    manifest, verify it, destroy two bucket partitions on disk, let
+    `failed_buckets` detect exactly those from the manifest, replay only
+    them with dynamic partition overwrite, and verify again. Every
+    emitted field is either construction-derived (counts, which buckets
+    were destroyed) or a content-hash verification result the oracle
+    pins (replay must restore byte-identical per-bucket fingerprints, or
+    the booleans flip and the hash gate fails)."""
+    import shutil
+
+    from trainable_entity_extractor_spark.kg.materialize import (
+        failed_buckets,
+        verify_manifest,
+        write_partitioned,
+    )
+
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(F.col("o_orderkey").alias("id"), F.col("o_orderpriority").alias("payload"))
+    )
+    d = tempfile.mkdtemp(prefix="tee_lineage_entry_")
+    try:
+        write_partitioned(src, d, "id")
+        ok_initial = verify_manifest(spark, d)
+        for b in (3, 7):
+            shutil.rmtree(f"{d}/bucket={b}", ignore_errors=True)
+        bad = failed_buckets(spark, d)
+        write_partitioned(src, d, "id", buckets=bad)
+        ok_after = verify_manifest(spark, d)
+        total = spark.read.parquet(d).count()
+        row = (
+            int(total),
+            len(ok_initial),
+            bool(all(ok_initial.values())),
+            bool(sorted(bad) == [3, 7]),
+            int(len(bad)),
+            int(sum(1 for ok in ok_after.values() if not ok)),
+            bool(all(ok_after.values())),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "total_rows bigint, n_buckets int, initial_ok boolean, "
+        "deleted_detected boolean, failed_after_delete int, "
+        "failed_after_replay int, replay_restored boolean",
+    )
+
+
 def q_sanitize_language(spark, sf_dir):
     """F16 language sanitize on the driver gate (functions/text.py
     sanitize_language — 2-letter-prefix into the known locale set, else
@@ -1371,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extraction": q_regex_extraction,
         "sanitize_language": q_sanitize_language,
         "nw_alignment": q_nw_alignment,
+        "lineage_replay": q_lineage_replay,
     }
 
 
@@ -1901,6 +1956,16 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
+        "lineage_replay": """
+            SELECT count(*)::BIGINT AS total_rows,
+                   16::INT AS n_buckets,
+                   TRUE AS initial_ok,
+                   TRUE AS deleted_detected,
+                   2::INT AS failed_after_delete,
+                   0::INT AS failed_after_replay,
+                   TRUE AS replay_restored
+            FROM orders WHERE o_orderkey < 5000
         """,
         "nw_alignment": """
             SELECT 'd' || d::VARCHAR AS doc,

@@ -1083,6 +1083,42 @@ def q_nw_alignment(spark, sf_dir):
     )
 
 
+def q_fuzzy_triples_88(spark, sf_dir):
+    """M5/J1 sub-100 fuzzy threshold path on the driver gate
+    (kg/triples.py extract_triples threshold=88 — the char-presence
+    prefilter + Arrow-batched partial_ratio kernel; only the t=100
+    containment path was driver-gated before). The construction keeps
+    the oracle sound WITHOUT reimplementing partial_ratio: match rows
+    embed the option label VERBATIM (partial_ratio is exactly 100 for a
+    contained substring, trivially >= 88), and non-match rows use words
+    whose alphabet is DISJOINT from the label's — the prefilter's
+    missing-char mass (11 label chars absent) provably exceeds the indel
+    budget floor(len*2*(1-t/100)) = 2, and the prefilter is
+    exact-recall, so those rows can never match under ANY scorer. The
+    expected set is therefore decided by the variant formula alone,
+    which is what the oracle evaluates."""
+    from trainable_entity_extractor_spark.kg.triples import extract_triples, options_df
+
+    options = options_df(spark, [("1", "abacus cabal")])
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1200)
+    seg = li.select("l_orderkey").distinct().select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        F.lit(0).alias("seg_idx"),
+        F.lit(1).alias("page"),
+        F.when(
+            F.col("l_orderkey") % 3 == 0,
+            F.lit("intro abacus cabal motion green trend"),
+        )
+        .otherwise(F.lit("green trend might never end there"))
+        .alias("text"),
+    )
+    return (
+        extract_triples(seg, options, "mentions", threshold=88.0)
+        .select("subj", "obj_id", "obj_label")
+        .orderBy(F.col("subj").cast("long"))
+    )
+
+
 def q_lineage_replay(spark, sf_dir):
     """North-rule resumability on the driver gate (kg/materialize.py —
     bucket-partitioned write with per-partition lineage manifests,
@@ -1426,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sanitize_language": q_sanitize_language,
         "nw_alignment": q_nw_alignment,
         "lineage_replay": q_lineage_replay,
+        "fuzzy_triples_88": q_fuzzy_triples_88,
     }
 
 
@@ -1956,6 +1993,14 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
+        "fuzzy_triples_88": """
+            SELECT DISTINCT l_orderkey::VARCHAR AS subj,
+                   '1' AS obj_id,
+                   'abacus cabal' AS obj_label
+            FROM lineitem
+            WHERE l_orderkey < 1200 AND l_orderkey % 3 = 0
+            ORDER BY l_orderkey::BIGINT
         """,
         "lineage_replay": """
             SELECT count(*)::BIGINT AS total_rows,

@@ -1083,6 +1083,79 @@ def q_nw_alignment(spark, sf_dir):
     )
 
 
+def _selector_doc(doc: int, with_label: bool) -> list[dict]:
+    """Synthetic training/test document for the segment-selector entry:
+    6 segments, exactly one (position doc%6) carrying the marker words
+    the label depends on — a perfectly separable task, so the trained
+    selector's prediction is determined by the construction."""
+    segs = []
+    for i in range(6):
+        marker = i == (doc % 6)
+        text = (
+            "magic clause payment due " if marker else "ordinary body text here "
+        ) + f"w{doc} v{i}"
+        seg = {
+            "url": doc,
+            "seg_idx": i,
+            "text": text,
+            "page": 1,
+            "seg_type": "TEXT",
+            "left": 72.0,
+            "top": 100.0 + i * 80.0,
+            "width": 451.0,
+            "height": 12.0,
+        }
+        if with_label:
+            seg["ml_label"] = 1 if marker else 0
+        segs.append(seg)
+    return segs
+
+
+def q_segment_selector(spark, sf_dir):
+    """M6 trainable segment selector on the driver gate
+    (methods/segment_selector_full.py FullSegmentSelector — the 95-dim
+    feature extraction + GBM; previously gated by pytest + the
+    reference's own fixture assertion). The model is FIT driver-side on
+    30 perfectly separable synthetic documents (one marker segment per
+    doc), then runs DISTRIBUTED: test documents 30-89 are grouped by url
+    and selected per-document via applyInPandas with the broadcast
+    artifact — the reference's predict shape. On separable data the
+    trained selector provably-in-practice picks exactly the marker
+    segment (verified deterministic), so the oracle derives the expected
+    (doc, doc % 6) pairs from the construction."""
+    import pandas as pd_mod
+
+    from trainable_entity_extractor_spark.methods.segment_selector_full import (
+        FullSegmentSelector,
+    )
+
+    sel = FullSegmentSelector()
+    art = sel.fit([_selector_doc(d, with_label=True) for d in range(30)])
+
+    rows = [s for d in range(30, 90) for s in _selector_doc(d, with_label=False)]
+    seg_df = spark.createDataFrame(
+        rows,
+        "url int, seg_idx int, text string, page int, seg_type string, "
+        "left double, top double, width double, height double",
+    )
+
+    def run(pdf: pd_mod.DataFrame) -> pd_mod.DataFrame:
+        segs = pdf.sort_values("seg_idx").to_dict("records")
+        picked = FullSegmentSelector().select(segs, art)
+        return pd_mod.DataFrame(
+            {
+                "doc": [int(s["url"]) for s in picked],
+                "selected_idx": [int(s["seg_idx"]) for s in picked],
+            }
+        )
+
+    return (
+        seg_df.groupBy("url")
+        .applyInPandas(run, schema="doc int, selected_idx int")
+        .orderBy("doc", "selected_idx")
+    )
+
+
 def q_fuzzy_triples_88(spark, sf_dir):
     """M5/J1 sub-100 fuzzy threshold path on the driver gate
     (kg/triples.py extract_triples threshold=88 — the char-presence
@@ -1463,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nw_alignment": q_nw_alignment,
         "lineage_replay": q_lineage_replay,
         "fuzzy_triples_88": q_fuzzy_triples_88,
+        "segment_selector": q_segment_selector,
     }
 
 
@@ -1993,6 +2067,10 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
+        "segment_selector": """
+            SELECT d::INT AS doc, (d % 6)::INT AS selected_idx
+            FROM range(30, 90) t(d) ORDER BY doc, selected_idx
         """,
         "fuzzy_triples_88": """
             SELECT DISTINCT l_orderkey::VARCHAR AS subj,

@@ -1083,6 +1083,82 @@ def q_nw_alignment(spark, sf_dir):
     )
 
 
+def q_tournament_e2e(spark, sf_dir):
+    """O1-O5 orchestration + M5 + S7 on the driver gate (driver.py +
+    plans/tournament.py — extractor pick, method tournament with perfect
+    early-exit, winner retrain, artifact manifest, and the Arrow-batched
+    Spark predict path; previously gated by golden e2e pytest only). The
+    multi-option extractor trains driver-side on an 8-sample fixture
+    where TextFuzzyAll100 is exactly correct (tournament ends in a
+    perfect early-exit, O3), then PREDICTS DISTRIBUTED over rows built
+    natively from the orders table, each embedding a deterministic
+    subset of the option labels. Every emitted field is
+    construction-derived: the winner name (the oracle pins the
+    tournament's argmax), and the sorted matched-option ids per row
+    (containment semantics make the expected subset follow from the
+    k%2/k%3/k%5 formula)."""
+    import atexit
+    import shutil
+
+    from trainable_entity_extractor_spark.domain import ExtractionIdentifier, Option
+    from trainable_entity_extractor_spark.driver import SparkTrainableEntityExtractor
+
+    out_dir = tempfile.mkdtemp(prefix="tee_tourney_entry_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    identifier = ExtractionIdentifier("tourney_entry", output_path=out_dir)
+    options = [Option("1", "apple"), Option("2", "banana"), Option("3", "orange")]
+    o = lambda i: options[i].to_dict()
+    samples = pd.DataFrame(
+        [
+            {"sample_id": str(i), "source_text": t, "label_text": "", "values": v,
+             "language_iso": "en", "segments": None}
+            for i, (t, v) in enumerate(
+                [
+                    ("I like apple", [o(0)]),
+                    ("I like banana", [o(1)]),
+                    ("I like orange", [o(2)]),
+                    ("I like apple and banana", [o(0), o(1)]),
+                    ("I like banana and orange", [o(1), o(2)]),
+                    ("I like apple and orange", [o(0), o(2)]),
+                    ("I like apple, banana and orange", [o(0), o(1), o(2)]),
+                    ("I like nothing", []),
+                ]
+            )
+        ]
+    )
+    extractor = SparkTrainableEntityExtractor(spark, identifier)
+    success, message = extractor.train(samples, options=options, multi_value=True)
+    if not success:
+        raise RuntimeError(f"tournament train failed: {message}")
+    job = extractor.get_extractor_job()
+
+    k = F.col("o_orderkey")
+    text = F.concat(
+        F.lit("the committee reviewed"),
+        F.when(k % 2 == 0, F.lit(" apple")).otherwise(F.lit("")),
+        F.when(k % 3 == 0, F.lit(" banana")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit(" orange")).otherwise(F.lit("")),
+        F.lit(" today"),
+    )
+    pred_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 1500)
+        .select(
+            k.cast("string").alias("entity_name"),
+            text.alias("source_text"),
+            F.lit(None).cast("array<struct<seg_idx:int,page:int,left:double,top:double,width:double,height:double,seg_type:string,text:string,ml_label:int>>").alias("segments"),
+        )
+    )
+    suggestions = extractor.predict(pred_rows)
+    return suggestions.select(
+        F.col("entity_name").cast("long").alias("orderkey"),
+        F.lit(job.method_name).alias("winner"),
+        F.array_join(
+            F.array_sort(F.transform(F.col("values"), lambda v: v["id"])), ","
+        ).alias("value_ids"),
+    ).orderBy("orderkey")
+
+
 def _selector_doc(doc: int, with_label: bool) -> list[dict]:
     """Synthetic training/test document for the segment-selector entry:
     6 segments, exactly one (position doc%6) carrying the marker words
@@ -1537,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_replay": q_lineage_replay,
         "fuzzy_triples_88": q_fuzzy_triples_88,
         "segment_selector": q_segment_selector,
+        "tournament_e2e": q_tournament_e2e,
     }
 
 
@@ -2071,6 +2148,18 @@ def _oracle_sql_base() -> dict[str, str]:
         "segment_selector": """
             SELECT d::INT AS doc, (d % 6)::INT AS selected_idx
             FROM range(30, 90) t(d) ORDER BY doc, selected_idx
+        """,
+        "tournament_e2e": """
+            SELECT o_orderkey AS orderkey,
+                   'TextFuzzyAll100' AS winner,
+                   -- coalesce: DuckDB's array_to_string of an empty list
+                   -- is NULL, Spark's array_join is ''
+                   coalesce(array_to_string(list_filter([
+                       CASE WHEN o_orderkey % 2 = 0 THEN '1' END,
+                       CASE WHEN o_orderkey % 3 = 0 THEN '2' END,
+                       CASE WHEN o_orderkey % 5 = 0 THEN '3' END
+                   ], x -> x IS NOT NULL), ','), '') AS value_ids
+            FROM orders WHERE o_orderkey < 1500 ORDER BY orderkey
         """,
         "fuzzy_triples_88": """
             SELECT DISTINCT l_orderkey::VARCHAR AS subj,

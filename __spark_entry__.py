@@ -1558,6 +1558,106 @@ def q_jpeg_phash_dedup(spark, sf_dir):
     return phash_duplicates(assets).orderBy("phash")
 
 
+def q_lang_id(spark, sf_dir):
+    """Text-analysis language ID on the driver gate
+    (operators/text_analysis.py lang_id — stopword-vote argmax with 'en'
+    fallback, all native column expressions; previously pytest-only).
+
+    Construction-derived oracle: each row's text is BUILT to be dominated
+    by one language's marker words (3x the dominant pool = 15 hits) with a
+    1x contaminant pool (5 hits) from a second, formula-chosen language —
+    so the expected argmax is known from the o_orderkey formula alone, and
+    every 7th row carries marker-free noise to pin the 'en' fallback. The
+    kernel votes over the REAL marker sets; the oracle recomputes the
+    expected language from the construction formula, never from the
+    kernel. Cross-list overlaps ('la' is in both es and fr pools) keep
+    non-dominant scores <= 8 < 15, so dominance is provable."""
+    from trainable_entity_extractor_spark.operators.text_analysis import (
+        LANG_MARKERS,
+        lang_id,
+    )
+
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr
+    dom_texts = F.array(*[F.lit(" ".join(LANG_MARKERS[lg] * 3)) for lg in langs])
+    con_texts = F.array(*[F.lit(" ".join(LANG_MARKERS[lg])) for lg in langs])
+    okey = F.col("o_orderkey")
+    text = F.when(okey % 7 == 0, F.lit("zzz qqq vvv kroxx blarn")).otherwise(
+        F.concat(
+            F.element_at(dom_texts, (okey % 4).cast("int") + 1),
+            F.lit(" "),
+            F.element_at(con_texts, ((okey / 4).cast("long") % 4).cast("int") + 1),
+        )
+    )
+    docs = (
+        _t(spark, sf_dir, "orders")
+        .filter(okey < 4000)
+        .select(okey.alias("doc_id"), text.alias("text"))
+    )
+    return lang_id(docs).orderBy("doc_id")
+
+
+def q_salted_distinct_parts(spark, sf_dir):
+    """Skew utilities on the driver gate (operators/skew.py — salt-based
+    mitigation for non-associative aggs, the north rule's explicit
+    skew-handling requirement; previously pytest-only). Exact per-supplier
+    distinct-part count via value-sharded two-stage aggregation
+    (salted_count_distinct: same value -> same shard, per-shard distincts
+    add exactly) joined with the salted collect_set's size
+    (salted_collect_set: per-key set built in n_salts shards, merged with
+    flatten+array_distinct). Both must equal the plain COUNT(DISTINCT)
+    the oracle computes — the salting is a physical rewrite, not a
+    semantic one, and this entry pins that."""
+    from trainable_entity_extractor_spark.operators.skew import (
+        salted_collect_set,
+        salted_count_distinct,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    counted = salted_count_distinct(li, "l_suppkey", "l_partkey", n_salts=16)
+    collected = salted_collect_set(li, "l_suppkey", "l_partkey", n_salts=16)
+    return (
+        counted.join(
+            collected.select("l_suppkey", F.size("values").alias("n_collected")),
+            "l_suppkey",
+        )
+        .select("l_suppkey", "n_distinct", F.col("n_collected").cast("long").alias("n_collected"))
+        .orderBy("l_suppkey")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF similarity search on the driver gate
+    (operators/similarity.py fit_ivf_centroids + ivf_assign + ivf_topk —
+    the partition-pruned ANN scale path; previously pytest-only). The
+    coarse quantizer is fit driver-side over a bounded, order-stable
+    sample (like every trainable artifact in this engine), vectors get
+    their nearest-centroid cell via an Arrow-batched GEMM, and the search
+    brute-forces only the probed cells.
+
+    Oracle-pinned EXACT form: with nprobe = n_centroids every cell is
+    probed, so the result must equal brute-force cosine top-k — the same
+    list_dot_product oracle as `cosine_topk`. This gates the full IVF
+    plumbing (deterministic fit, assignment UDF, probe-cell pruning
+    filter, scoring); the recall-vs-nprobe tradeoff of partial probing is
+    pytest-gated (tests/test_similarity.py)."""
+    from trainable_entity_extractor_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_cells = 8
+    centroids = fit_ivf_centroids(e, n_centroids=n_cells, iters=4, sample=256)
+    qvec = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    out = ivf_topk(
+        e.filter(F.col("vec_id") != 0), qvec, centroids, k=10, nprobe=n_cells
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1614,6 +1714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_triples_88": q_fuzzy_triples_88,
         "segment_selector": q_segment_selector,
         "tournament_e2e": q_tournament_e2e,
+        "lang_id": q_lang_id,
+        "salted_distinct_parts": q_salted_distinct_parts,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -2148,6 +2251,33 @@ def _oracle_sql_base() -> dict[str, str]:
         "segment_selector": """
             SELECT d::INT AS doc, (d % 6)::INT AS selected_idx
             FROM range(30, 90) t(d) ORDER BY doc, selected_idx
+        """,
+        "lang_id": """
+            -- expected language from the construction formula (dominant
+            -- pool = langs[o_orderkey % 4], 'en' fallback on marker-free
+            -- noise rows), never from the kernel
+            SELECT o_orderkey AS doc_id,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'en'
+                        ELSE list_extract(['de', 'en', 'es', 'fr'],
+                                          (o_orderkey % 4)::INT + 1)
+                   END AS detected_lang
+            FROM orders WHERE o_orderkey < 4000 ORDER BY doc_id
+        """,
+        "salted_distinct_parts": """
+            SELECT l_suppkey,
+                   count(DISTINCT l_partkey)::BIGINT AS n_distinct,
+                   count(DISTINCT l_partkey)::BIGINT AS n_collected
+            FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "ivf_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+                         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cosine
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "tournament_e2e": """
             SELECT o_orderkey AS orderkey,

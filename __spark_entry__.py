@@ -1658,6 +1658,137 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _synth_three_segments(spark, sf_dir, texts, pages):
+    """Shared construction for the per-document segment-kernel entries:
+    three TEXT segments per order (o_orderkey < 2000), texts/pages given
+    as per-index column expressions over `k` = o_orderkey."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg_idx"),
+                pages[i].cast("int").alias("page"),
+                F.lit("TEXT").alias("seg_type"),
+                texts[i].alias("text"),
+            )
+            for i in range(len(texts))
+        ]
+    )
+    return (
+        o.select(F.col("o_orderkey").alias("doc_id"), F.explode(segs).alias("s"))
+        .select("doc_id", "s.seg_idx", "s.page", "s.seg_type", "s.text")
+    )
+
+
+def q_cross_page_fix(spark, sf_dir):
+    """W10 cross-page segment fix on the driver gate
+    (methods/pdf_to_multi_option.py fix_two_pages_segments —
+    FastSegmentSelectorFuzzy95.fix_two_pages_segments:128-161 semantics;
+    previously pytest-only). Three constructed variants per document pin
+    all three branches: variant 0 (no trailing '.' + next text segment on
+    a LATER page) must merge and drop the absorbed segment; variant 1
+    (no '.' but same page) and variant 2 (trailing '.') must not. The
+    kernel runs per-document via applyInPandas; the oracle rebuilds the
+    expected segment lists from the o_orderkey % 3 formula, never from
+    the kernel."""
+    import pandas as pd_mod
+
+    from trainable_entity_extractor_spark.methods.pdf_to_multi_option import (
+        fix_two_pages_segments,
+    )
+
+    k = F.col("o_orderkey").cast("string")
+    variant = F.col("o_orderkey") % 3
+    texts = [
+        F.concat(
+            F.lit("sentence zero for order "),
+            k,
+            F.when(variant == 2, F.lit(".")).otherwise(F.lit("")),
+        ),
+        F.concat(F.lit("sentence one for order "), k, F.lit(".")),
+        F.concat(F.lit("sentence two for order "), k, F.lit(".")),
+    ]
+    pages = [F.lit(1), F.when(variant == 1, F.lit(1)).otherwise(F.lit(2)), F.lit(2)]
+    seg_df = _synth_three_segments(spark, sf_dir, texts, pages)
+
+    def run(pdf: pd_mod.DataFrame) -> pd_mod.DataFrame:
+        segs = pdf.sort_values("seg_idx").to_dict("records")
+        fixed = fix_two_pages_segments(segs)
+        return pd_mod.DataFrame(
+            {
+                "doc_id": [int(s["doc_id"]) for s in fixed],
+                "out_idx": list(range(len(fixed))),
+                "page": [int(s["page"]) for s in fixed],
+                "text": [s["text"] for s in fixed],
+            }
+        )
+
+    return (
+        seg_df.groupBy("doc_id")
+        .applyInPandas(run, schema="doc_id long, out_idx int, page int, text string")
+        .orderBy("doc_id", "out_idx")
+    )
+
+
+def q_sentence_resegment(spark, sf_dir):
+    """W9 sentence re-segmentation on the driver gate
+    (methods/pdf_to_multi_option.py sentence_segments —
+    SentenceSelectorFuzzyCommas:55-102 semantics; previously
+    pytest-only). Three constructed variants pin the three behaviors:
+    variant 0 ('.'-terminated segments) splits cleanly, variant 1
+    (non-'.'-ending first segment) merges with ', ' before the split,
+    variant 2 (a ',:'-bearing single segment) exercises the
+    dangling-comma re-merge across split pieces — including the kernel's
+    exact double-space join artifact, which the oracle reproduces
+    literally. Expected rows come from the o_orderkey % 3 formula, never
+    from the kernel."""
+    import pandas as pd_mod
+
+    from trainable_entity_extractor_spark.methods.pdf_to_multi_option import (
+        sentence_segments,
+    )
+
+    k = F.col("o_orderkey").cast("string")
+    variant = F.col("o_orderkey") % 3
+    texts = [
+        F.when(
+            variant == 2,
+            F.concat(F.lit("one "), k, F.lit(" two,: three "), k, F.lit(" four.")),
+        ).otherwise(
+            F.concat(
+                F.lit("alpha "),
+                k,
+                F.lit(" beta"),
+                F.when(variant == 0, F.lit(".")).otherwise(F.lit("")),
+            )
+        ),
+        F.when(variant == 2, F.lit("")).otherwise(
+            F.concat(F.lit("gamma "), k, F.lit(" delta."))
+        ),
+    ]
+    pages = [F.lit(1), F.lit(1)]
+    seg_df = _synth_three_segments(spark, sf_dir, texts, pages).filter(
+        F.col("text") != ""
+    )
+
+    def run(pdf: pd_mod.DataFrame) -> pd_mod.DataFrame:
+        segs = pdf.sort_values("seg_idx").to_dict("records")
+        sents = sentence_segments(segs)
+        return pd_mod.DataFrame(
+            {
+                "doc_id": [int(s["doc_id"]) for s in sents],
+                "sent_idx": list(range(len(sents))),
+                "text": [s["text"] for s in sents],
+            }
+        )
+
+    return (
+        seg_df.groupBy("doc_id")
+        .applyInPandas(run, schema="doc_id long, sent_idx int, text string")
+        .orderBy("doc_id", "sent_idx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1717,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "salted_distinct_parts": q_salted_distinct_parts,
         "ivf_topk": q_ivf_topk,
+        "cross_page_fix": q_cross_page_fix,
+        "sentence_resegment": q_sentence_resegment,
     }
 
 
@@ -2251,6 +2384,45 @@ def _oracle_sql_base() -> dict[str, str]:
         "segment_selector": """
             SELECT d::INT AS doc, (d % 6)::INT AS selected_idx
             FROM range(30, 90) t(d) ORDER BY doc, selected_idx
+        """,
+        "cross_page_fix": """
+            WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 2000)
+            SELECT * FROM (
+                SELECT k AS doc_id, 0 AS out_idx, 1 AS page,
+                       'sentence zero for order ' || k || ' sentence one for order ' || k || '.' AS text
+                FROM o WHERE k % 3 = 0
+                UNION ALL
+                SELECT k, 1, 2, 'sentence two for order ' || k || '.' FROM o WHERE k % 3 = 0
+                UNION ALL
+                SELECT k, 0, 1, 'sentence zero for order ' || k FROM o WHERE k % 3 = 1
+                UNION ALL
+                SELECT k, 1, 1, 'sentence one for order ' || k || '.' FROM o WHERE k % 3 = 1
+                UNION ALL
+                SELECT k, 2, 2, 'sentence two for order ' || k || '.' FROM o WHERE k % 3 = 1
+                UNION ALL
+                SELECT k, 0, 1, 'sentence zero for order ' || k || '.' FROM o WHERE k % 3 = 2
+                UNION ALL
+                SELECT k, 1, 2, 'sentence one for order ' || k || '.' FROM o WHERE k % 3 = 2
+                UNION ALL
+                SELECT k, 2, 2, 'sentence two for order ' || k || '.' FROM o WHERE k % 3 = 2
+            ) ORDER BY doc_id, out_idx
+        """,
+        "sentence_resegment": """
+            WITH o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 2000)
+            SELECT * FROM (
+                SELECT k AS doc_id, 0 AS sent_idx,
+                       'alpha ' || k || ' beta' AS text FROM o WHERE k % 3 = 0
+                UNION ALL
+                SELECT k, 1, 'gamma ' || k || ' delta' FROM o WHERE k % 3 = 0
+                UNION ALL
+                SELECT k, 0, 'alpha ' || k || ' beta, gamma ' || k || ' delta'
+                FROM o WHERE k % 3 = 1
+                UNION ALL
+                -- the kernel's across-merge joins 'one k two,' with the
+                -- leading-space split piece ' three k four' -> two spaces
+                SELECT k, 0, 'one ' || k || ' two,  three ' || k || ' four'
+                FROM o WHERE k % 3 = 2
+            ) ORDER BY doc_id, sent_idx
         """,
         "lang_id": """
             -- expected language from the construction formula (dominant

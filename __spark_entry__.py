@@ -1789,6 +1789,167 @@ def q_sentence_resegment(spark, sf_dir):
     )
 
 
+def q_fuzzy_commas(spark, sf_dir):
+    """J5 comma-split alias join on the driver gate
+    (methods/pdf_to_multi_option.py FuzzyCommas — reference
+    FuzzyCommas.py:25-170: split on ','/':'/' and ', clean, partial_ratio
+    >= 92 inside the 0.92-1.2x length band, alias-dict fallback learned
+    at fit from labeled segments; previously pytest-only). Fit runs
+    driver-side on ONE training sample whose labeled segment text
+    'the ruled of law' misses every option's length band, so the alias
+    'the ruled of law' -> 'rule of law' is provably learned (fit's
+    partial_ratio>80 gate). Predict runs DISTRIBUTED through the real
+    mapInPandas suggestion path (extractors/base.py
+    get_suggestions_spark). Every predict piece is decided by
+    construction, not by the scorer: verbatim option labels score
+    exactly 100 (>= 92, length ratio 1.0); the learned alias matches at
+    indel 100 on its exact text while missing every option's length
+    band; the noise piece 'jkpq vxzb jjkk' shares NO letter with any
+    option or alias, so both partial_ratio and indel_ratio are exactly
+    0. The expected id sequence therefore follows the k%2/k%3/k%5
+    formula alone (k%5 emits '2' via the alias; the reference's
+    duplicate-emission quirk keeps the repeat when k%15==0), which is
+    what the oracle evaluates."""
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+    )
+    from trainable_entity_extractor_spark.extractors.base import ExtractorBase
+    from trainable_entity_extractor_spark.methods.pdf_to_multi_option import FuzzyCommas
+
+    options = [
+        Option("1", "human rights"),
+        Option("2", "rule of law"),
+        Option("3", "food security"),
+    ]
+    ctx = ExtractionContext(
+        ExtractionIdentifier("fuzzy_commas_entry"), options=options, multi_value=True
+    )
+    method = FuzzyCommas()
+    train = pd.DataFrame(
+        [
+            {
+                "sample_id": "0",
+                "source_text": "",
+                "label_text": "",
+                "values": [{"id": "2", "label": "rule of law"}],
+                "language_iso": "en",
+                "segments": [{"text": "the ruled of law", "ml_label": 1, "page": 1}],
+            }
+        ]
+    )
+    artifact = method.fit(train, ctx)
+
+    k = F.col("o_orderkey")
+    text = F.concat_ws(
+        ", ",
+        F.when(k % 2 == 0, F.lit("human rights")),
+        F.when(k % 3 == 0, F.lit("rule of law")),
+        F.when(k % 5 == 0, F.lit("the ruled of law")),
+        F.when(k % 7 == 0, F.lit("jkpq vxzb jjkk")),
+    )
+    pred_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 1500)
+        .select(
+            k.cast("string").alias("entity_name"),
+            F.when(text == "", F.lit("jkpq vxzb")).otherwise(text).alias("source_text"),
+        )
+    )
+    suggestions = ExtractorBase().get_suggestions_spark(pred_rows, method, ctx, artifact)
+    return suggestions.select(
+        F.col("entity_name").cast("long").alias("orderkey"),
+        F.array_join(F.transform(F.col("values"), lambda v: v["id"]), ",").alias(
+            "value_ids"
+        ),
+    ).orderBy("orderkey")
+
+
+_FT_MARKERS = [
+    ["market", "trade", "fiscal", "budget", "tariff", "inflation"],
+    ["climate", "forest", "emission", "wildlife", "river", "pollution"],
+    ["border", "defense", "patrol", "treaty", "weapon", "conflict"],
+]
+
+
+def _ft_sentence(c: int, j: int) -> str:
+    w = _FT_MARKERS[c]
+    return (
+        f"the council discussed {w[j]} and {w[(j + 1) % 6]} policy"
+        f" this {w[(j + 2) % 6]} session"
+    )
+
+
+def q_fasttext_classifier(spark, sf_dir):
+    """M7 multi-label classifier on the driver gate
+    (methods/fasttext_like.py TextFastTextMethod — the from-scratch
+    numpy re-implementation of the reference's fastText slot,
+    TextFastTextMethod.py:54-97: bag of words+bigrams -> averaged
+    learned embeddings -> one-vs-all sigmoid; previously gated by the
+    rightdocs-fixture pytest only). Fit runs driver-side on 18
+    perfectly separable sentences (3 classes x 6 marker-word
+    rotations, zero marker overlap across classes); the kernel is
+    bit-deterministic (seeded LCG init, fixed full-batch GD schedule,
+    float32 artifact round-trip), so the fitted model classifies each
+    training sentence as its own class — empirically pinned before the
+    entry was written. Predict runs DISTRIBUTED through the real
+    mapInPandas suggestion path over rows that embed one of the 18
+    sentences VERBATIM chosen by o_orderkey % 18, so the expected label
+    id is the construction formula (k%18)//6 + 1 — which is what the
+    oracle evaluates, classifier-independently."""
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+    )
+    from trainable_entity_extractor_spark.extractors.base import ExtractorBase
+    from trainable_entity_extractor_spark.methods.fasttext_like import (
+        TextFastTextMethod,
+    )
+
+    options = [Option("1", "economy"), Option("2", "environment"), Option("3", "security")]
+    ctx = ExtractionContext(
+        ExtractionIdentifier("fasttext_entry"), options=options, multi_value=False
+    )
+    train = pd.DataFrame(
+        [
+            {
+                "sample_id": f"{c}-{j}",
+                "source_text": _ft_sentence(c, j),
+                "label_text": "",
+                "values": [{"id": str(c + 1), "label": options[c].label}],
+                "language_iso": "en",
+                "segments": None,
+            }
+            for c in range(3)
+            for j in range(6)
+        ]
+    )
+    method = TextFastTextMethod()
+    artifact = method.fit(train, ctx)
+
+    sentences = F.array(
+        *[F.lit(_ft_sentence(i // 6, i % 6)) for i in range(18)]
+    )
+    k = F.col("o_orderkey")
+    pred_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 2000)
+        .select(
+            k.cast("string").alias("entity_name"),
+            F.element_at(sentences, (k % 18 + 1).cast("int")).alias("source_text"),
+        )
+    )
+    suggestions = ExtractorBase().get_suggestions_spark(pred_rows, method, ctx, artifact)
+    return suggestions.select(
+        F.col("entity_name").cast("long").alias("orderkey"),
+        F.element_at(F.transform(F.col("values"), lambda v: v["id"]), 1).alias(
+            "label_id"
+        ),
+    ).orderBy("orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1850,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "cross_page_fix": q_cross_page_fix,
         "sentence_resegment": q_sentence_resegment,
+        "fuzzy_commas": q_fuzzy_commas,
+        "fasttext_classifier": q_fasttext_classifier,
     }
 
 
@@ -2462,6 +2625,24 @@ def _oracle_sql_base() -> dict[str, str]:
                        CASE WHEN o_orderkey % 5 = 0 THEN '3' END
                    ], x -> x IS NOT NULL), ','), '') AS value_ids
             FROM orders WHERE o_orderkey < 1500 ORDER BY orderkey
+        """,
+        "fuzzy_commas": """
+            SELECT o_orderkey AS orderkey,
+                   -- emission order = piece order in the text; k%5 hits the
+                   -- learned alias for option 2 (repeat kept when k%15==0,
+                   -- the reference's duplicate-emission quirk); k%7 noise
+                   -- shares no letter with any option/alias -> never matches
+                   coalesce(array_to_string(list_filter([
+                       CASE WHEN o_orderkey % 2 = 0 THEN '1' END,
+                       CASE WHEN o_orderkey % 3 = 0 THEN '2' END,
+                       CASE WHEN o_orderkey % 5 = 0 THEN '2' END
+                   ], x -> x IS NOT NULL), ','), '') AS value_ids
+            FROM orders WHERE o_orderkey < 1500 ORDER BY orderkey
+        """,
+        "fasttext_classifier": """
+            SELECT o_orderkey AS orderkey,
+                   ((o_orderkey % 18) // 6 + 1)::VARCHAR AS label_id
+            FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
         """,
         "fuzzy_triples_88": """
             SELECT DISTINCT l_orderkey::VARCHAR AS subj,

@@ -1950,6 +1950,127 @@ def q_fasttext_classifier(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+def q_html_extract(spark, sf_dir):
+    """S1 document scan on the driver gate (sources/segmentation.py
+    py_extract_text / extract_text_udf + pages_to_segments — the
+    html->text extraction whose BYTE-IDENTICAL-per-url output is the
+    north-rule invariant, plus the native posexplode segment source;
+    previously exercised only inside entry()'s rows-only smoke and
+    pytest). HTML pages are CONSTRUCTED natively from orders columns:
+    the full variant exercises script/style removal, block-element
+    capture in document order (title, h1, p, li), inline-tag
+    stripping (<b>), entity unescape (&amp;), and whitespace collapse
+    (a doubled space); the k%7==0 variant has no block elements and
+    exercises the whole-document fallback. Because every block's text
+    is a deterministic function of the row's columns, the oracle
+    rebuilds the exact expected byte string (and the segment count the
+    posexplode source derives from it) straight from the columns —
+    extractor-independently."""
+    from trainable_entity_extractor_spark.sources.segmentation import (
+        extract_pages_text,
+        pages_to_segments,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    full = F.concat(
+        F.lit("<html><head><title>Order "),
+        k.cast("string"),
+        F.lit("</title><style>p {color: red}</style></head><body>"),
+        F.lit("<script>var a = 1;</script>"),
+        F.lit("<h1>Status:  "),
+        F.col("o_orderstatus"),
+        F.lit("</h1><p>Priority &amp; "),
+        F.col("o_orderpriority"),
+        F.lit(" for customer <b>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</b></p>"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("<li>lines total "), (k % 7).cast("string"), F.lit("</li>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    bare = F.concat(F.lit("<div>plain summary "), k.cast("string"), F.lit("</div>"))
+    pages = o.select(
+        k.cast("string").alias("url"),
+        F.encode(F.when(k % 7 == 0, bare).otherwise(full), "UTF-8").alias("html"),
+    )
+    ext = extract_pages_text(pages)
+    nseg = (
+        pages_to_segments(ext, text_col="extracted_text")
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_segments"))
+    )
+    return (
+        ext.join(nseg, "url")
+        .select(
+            F.col("url").cast("long").alias("orderkey"),
+            F.col("extracted_text"),
+            F.col("n_segments"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+def q_page_range_prune(spark, sf_dir):
+    """A10 valid-page-range inference on the driver gate
+    (operators/page_ranges.py — reference
+    FilterValidSegmentsPagesUseCase.py:20-151; previously pytest-only).
+    Three PageRangeModels are fit driver-side on fixed training docs
+    that force each branch — front-anchored (min start-gap <= min
+    end-gap), back-anchored, and the no-labels first-4+last-4 fallback
+    — then each prunes the SAME natively constructed segments table
+    (one segment per page, total pages P = k%13+6) through the real
+    window+filter operator. The kept-page stats per document follow
+    from the training gaps alone: front keeps pages 1..5, back keeps
+    the last 4, fallback keeps <=4 or >=P-3 — which is what the oracle
+    evaluates, operator-independently."""
+    from trainable_entity_extractor_spark.operators.page_ranges import (
+        PageRangeModel,
+        filter_segments_to_valid_pages,
+    )
+
+    front = PageRangeModel().fit(
+        [
+            {"total_pages": 10, "label_pages": [2, 3]},
+            {"total_pages": 12, "label_pages": [3]},
+        ]
+    )
+    back = PageRangeModel().fit(
+        [
+            {"total_pages": 10, "label_pages": [9, 10]},
+            {"total_pages": 12, "label_pages": [11]},
+        ]
+    )
+    unbounded = PageRangeModel().fit([{"total_pages": 10, "label_pages": []}])
+
+    k = F.col("o_orderkey")
+    segments = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 1500)
+        .select(
+            k.cast("string").alias("url"),
+            F.explode(F.sequence(F.lit(1), (k % 13 + 6).cast("int"))).alias("page"),
+        )
+    )
+    parts = []
+    for mode, model in (("front", front), ("back", back), ("fallback", unbounded)):
+        kept = filter_segments_to_valid_pages(segments, model)
+        parts.append(
+            kept.groupBy("url").agg(
+                F.lit(mode).alias("mode"),
+                F.count("*").cast("long").alias("n_pages"),
+                F.min("page").cast("int").alias("min_page"),
+                F.max("page").cast("int").alias("max_page"),
+            )
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        F.col("url").cast("long").alias("orderkey"), "mode", "n_pages", "min_page", "max_page"
+    ).orderBy("orderkey", "mode")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2013,6 +2134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_resegment": q_sentence_resegment,
         "fuzzy_commas": q_fuzzy_commas,
         "fasttext_classifier": q_fasttext_classifier,
+        "html_extract": q_html_extract,
+        "page_range_prune": q_page_range_prune,
     }
 
 
@@ -2643,6 +2766,44 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT o_orderkey AS orderkey,
                    ((o_orderkey % 18) // 6 + 1)::VARCHAR AS label_id
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
+        "html_extract": """
+            SELECT o_orderkey AS orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN 'plain summary ' || o_orderkey::VARCHAR
+                        ELSE 'Order ' || o_orderkey::VARCHAR
+                             || chr(10) || chr(10)
+                             || 'Status: ' || o_orderstatus
+                             || chr(10) || chr(10)
+                             || 'Priority & ' || o_orderpriority
+                             || ' for customer ' || o_custkey::VARCHAR
+                             || CASE WHEN o_orderkey % 3 = 0
+                                     THEN chr(10) || chr(10) || 'lines total '
+                                          || (o_orderkey % 7)::VARCHAR
+                                     ELSE '' END
+                   END AS extracted_text,
+                   (CASE WHEN o_orderkey % 7 = 0 THEN 1
+                         WHEN o_orderkey % 3 = 0 THEN 4
+                         ELSE 3 END)::BIGINT AS n_segments
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
+        """,
+        "page_range_prune": """
+            WITH base AS (
+                SELECT o_orderkey AS orderkey, (o_orderkey % 13 + 6) AS p
+                FROM orders WHERE o_orderkey < 1500
+            )
+            SELECT orderkey, mode, n_pages::BIGINT AS n_pages,
+                   min_page::INT AS min_page, max_page::INT AS max_page
+            FROM (
+                SELECT orderkey, 'front' AS mode, 5 AS n_pages,
+                       1 AS min_page, 5 AS max_page FROM base
+                UNION ALL
+                SELECT orderkey, 'back', 4, p - 3, p FROM base
+                UNION ALL
+                SELECT orderkey, 'fallback',
+                       CASE WHEN p <= 7 THEN p ELSE 8 END, 1, p FROM base
+            )
+            ORDER BY orderkey, mode
         """,
         "fuzzy_triples_88": """
             SELECT DISTINCT l_orderkey::VARCHAR AS subj,

@@ -2013,6 +2013,162 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+_POPPLER_XML_TEMPLATE = """<pdf2xml>
+<page number="1" position="absolute" top="0" left="0" height="1262" width="892">
+<fontspec id="0" size="12" family="Times" color="#000000"/>
+<fontspec id="1" size="8" family="Times" color="#000000"/>
+<text top="100" left="100" width="30" height="12" font="0">Hel</text>
+<text top="100" left="130" width="20" height="12" font="0">lo</text>
+<text top="100" left="200" width="50" height="12" font="0">world</text>
+<text top="100" left="300" width="6" height="12" font="1">7</text>
+<text top="116" left="100" width="50" height="12" font="0">order</text>
+<text top="116" left="160" width="40" height="12" font="0">%s</text>
+<text top="200" left="100" width="30" height="12" font="0">ref</text>
+<text top="200" left="140" width="30" height="12" font="0">%s</text>
+</page>
+<page number="2" position="absolute" top="0" left="0" height="1262" width="892">
+<fontspec id="0" size="12" family="Times" color="#000000"/>
+<text top="100" left="100" width="200" height="12" font="0">SHOULD NOT APPEAR</text>
+</page>
+<page number="3" position="absolute" top="0" left="0" height="1262" width="892">
+<fontspec id="0" size="12" family="Times" color="#000000"/>
+<text top="100" left="100" width="40" height="12" font="0">page</text>
+<text top="100" left="150" width="40" height="12" font="0">three</text>
+<text top="100" left="200" width="40" height="12" font="0">final</text>
+<text top="100" left="250" width="20" height="12" font="0">%s</text>
+</page>
+</pdf2xml>"""
+
+
+def q_poppler_parse(spark, sf_dir):
+    """S1/S2/F2/F3 poppler pdf2xml scan on the driver gate
+    (sources/poppler_xml.py xml_to_segments — page-filter surgery,
+    token parse, same-word merge, superscript removal, line/paragraph
+    assembly; reference PdfData.py:77-175 +
+    FilterValidSegmentsPagesUseCase.py:120-140; previously pytest-only).
+    Each orderkey renders a 3-page pdf2xml document built natively from
+    its columns; the real kernel then runs per document in an
+    Arrow-batched mapInPandas with keep_pages=[1,3]. Every behavior is
+    decided by the construction: page 2 is dropped by the S2 filter
+    (its text never appears), 'Hel'+'lo' merge (0px gap, full vertical
+    overlap: F3), the size-8 numeric '7' is a superscript in a
+    size-spread>=1.5 paragraph and is dropped (F2), and the line/
+    paragraph geometry (4px line gap within the 1.6x-median threshold,
+    72px break) yields exactly three segments whose texts the oracle
+    rebuilds from the orderkey formulas, parser-independently."""
+    from trainable_entity_extractor_spark.sources.poppler_xml import xml_to_segments
+
+    k = F.col("o_orderkey")
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 1200)
+        .select(
+            k.alias("orderkey"),
+            F.format_string(
+                _POPPLER_XML_TEMPLATE,
+                k.cast("string"),
+                (k % 50 + 10).cast("string"),
+                (k % 7).cast("string"),
+            ).alias("xml"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for key, x in zip(pdf["orderkey"], pdf["xml"]):
+                for s in xml_to_segments(x.encode("utf-8"), keep_pages=[1, 3]):
+                    recs.append(
+                        {
+                            "orderkey": key,
+                            "seg_idx": s["seg_idx"],
+                            "page": s["page"],
+                            "text": s["text"],
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=["orderkey", "seg_idx", "page", "text"])
+
+    return rows.mapInPandas(
+        run, "orderkey long, seg_idx int, page int, text string"
+    ).orderBy("orderkey", "seg_idx")
+
+
+_TFIDF_MARKERS = [
+    ["stadium", "match", "league", "goal", "referee", "tournament"],
+    ["museum", "opera", "gallery", "sculpture", "festival", "theatre"],
+    ["clinic", "vaccine", "nutrition", "therapy", "hospital", "diagnosis"],
+]
+
+
+def _tfidf_sentence(c: int, j: int) -> str:
+    w = _TFIDF_MARKERS[c]
+    return (
+        f"the weekly bulletin covered {w[j]} and {w[(j + 1) % 6]} news"
+        f" about {w[(j + 2) % 6]} updates"
+    )
+
+
+def q_tfidf_classifier(spark, sf_dir):
+    """M7's second trainable family on the driver gate
+    (methods/tfidf.py TextTfIdf — from-scratch numpy TF-IDF + one-vs-
+    rest logistic regression at the reference's TextTfIdf.py:51-78
+    slot; previously gated by pytest only). Same harness shape as
+    `fasttext_classifier`: driver-fit on 18 perfectly separable
+    sentences (3 classes x 6 marker rotations, zero cross-class token
+    overlap, deterministic fixed-init fixed-epoch GD), DISTRIBUTED
+    predict through the real mapInPandas suggestion path over verbatim
+    training sentences chosen by (o_orderkey%18)//6 and o_orderkey%6,
+    oracle = the class formula, classifier-independently."""
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+    )
+    from trainable_entity_extractor_spark.extractors.base import ExtractorBase
+    from trainable_entity_extractor_spark.methods.tfidf import TextTfIdf
+
+    options = [Option("1", "sports"), Option("2", "culture"), Option("3", "health")]
+    ctx = ExtractionContext(
+        ExtractionIdentifier("tfidf_entry"), options=options, multi_value=False
+    )
+    train = pd.DataFrame(
+        [
+            {
+                "sample_id": f"{c}-{j}",
+                "source_text": _tfidf_sentence(c, j),
+                "label_text": "",
+                "values": [{"id": str(c + 1), "label": options[c].label}],
+                "language_iso": "en",
+                "segments": None,
+            }
+            for c in range(3)
+            for j in range(6)
+        ]
+    )
+    method = TextTfIdf()
+    artifact = method.fit(train, ctx)
+
+    k = F.col("o_orderkey")
+    sentences = F.array(*[F.lit(_tfidf_sentence(i // 6, i % 6)) for i in range(18)])
+    pred_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 2000)
+        .select(
+            k.cast("string").alias("entity_name"),
+            F.element_at(
+                sentences, (((k % 18) / 6).cast("int") * 6 + (k % 6).cast("int") + 1)
+            ).alias("source_text"),
+        )
+    )
+    suggestions = ExtractorBase().get_suggestions_spark(pred_rows, method, ctx, artifact)
+    return suggestions.select(
+        F.col("entity_name").cast("long").alias("orderkey"),
+        F.element_at(F.transform(F.col("values"), lambda v: v["id"]), 1).alias(
+            "label_id"
+        ),
+    ).orderBy("orderkey")
+
+
 def q_page_range_prune(spark, sf_dir):
     """A10 valid-page-range inference on the driver gate
     (operators/page_ranges.py — reference
@@ -2136,6 +2292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fasttext_classifier": q_fasttext_classifier,
         "html_extract": q_html_extract,
         "page_range_prune": q_page_range_prune,
+        "tfidf_classifier": q_tfidf_classifier,
+        "poppler_parse": q_poppler_parse,
     }
 
 
@@ -2767,6 +2925,11 @@ def _oracle_sql_base() -> dict[str, str]:
                    ((o_orderkey % 18) // 6 + 1)::VARCHAR AS label_id
             FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
         """,
+        "tfidf_classifier": """
+            SELECT o_orderkey AS orderkey,
+                   ((o_orderkey % 18) // 6 + 1)::VARCHAR AS label_id
+            FROM orders WHERE o_orderkey < 2000 ORDER BY orderkey
+        """,
         "html_extract": """
             SELECT o_orderkey AS orderkey,
                    CASE WHEN o_orderkey % 7 = 0
@@ -2804,6 +2967,26 @@ def _oracle_sql_base() -> dict[str, str]:
                        CASE WHEN p <= 7 THEN p ELSE 8 END, 1, p FROM base
             )
             ORDER BY orderkey, mode
+        """,
+        "poppler_parse": """
+            WITH base AS (
+                SELECT o_orderkey AS orderkey,
+                       (o_orderkey % 50 + 10) AS refno,
+                       (o_orderkey % 7) AS fin
+                FROM orders WHERE o_orderkey < 1200
+            )
+            SELECT orderkey, seg_idx::INT AS seg_idx, page::INT AS page, text
+            FROM (
+                SELECT orderkey, 0 AS seg_idx, 1 AS page,
+                       'Hello world order ' || orderkey::VARCHAR AS text
+                FROM base
+                UNION ALL
+                SELECT orderkey, 1, 1, 'ref ' || refno::VARCHAR FROM base
+                UNION ALL
+                SELECT orderkey, 2, 3,
+                       'page three final ' || fin::VARCHAR FROM base
+            )
+            ORDER BY orderkey, seg_idx
         """,
         "fuzzy_triples_88": """
             SELECT DISTINCT l_orderkey::VARCHAR AS subj,

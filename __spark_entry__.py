@@ -1507,6 +1507,67 @@ def q_streaming_distinct_users(spark, sf_dir):
     return spark.table(name).orderBy("event_type")
 
 
+def q_streaming_running_totals(spark, sf_dir):
+    """§2.10 third Structured Streaming entry: a CUSTOM STATEFUL OPERATOR
+    (applyInPandasWithState — streaming/micro_batch.py running_totals;
+    the first_seen dedup variant stays pytest-gated because its emitted
+    ROW is arrival-order-dependent). Events are rewritten as a 4-file
+    directory so availableNow genuinely drains MULTIPLE micro-batches
+    (maxFilesPerTrigger=1) and per-key state must survive across them.
+    The operator keeps (count, sum(event_id)) state per user and emits
+    the running totals after every batch the user appears in; the
+    returned frame takes max() per user over the append-mode memory
+    sink. Running totals of nonnegative contributions only grow and end
+    at the whole-stream totals, so max(emitted) == batch GROUP BY
+    regardless of how repartition(4) split the rows — a full DuckDB
+    oracle for user-controlled streaming state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from trainable_entity_extractor_spark.streaming.micro_batch import (
+        running_totals,
+    )
+
+    tag = uuid.uuid4().hex[:12]
+    in_dir = os.path.join(tempfile.gettempdir(), f"tee_stream_rt_{tag}")
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id")
+        .repartition(4)
+    )
+    events.write.mode("overwrite").parquet(in_dir)
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        name = f"tee_stream_rt_{tag}"
+        q = (
+            running_totals(stream, "user_id", "event_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_so_far").alias("n_events"),
+                F.max("total_so_far").alias("sum_event_id"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
 # one constant pair shared by the Spark query AND its driver-side parity
 # oracle (_phash_oracle_sql) — they must describe the SAME synthetic corpus
 _PHASH_N, _PHASH_SEED = 200, 7
@@ -2169,6 +2230,65 @@ def q_tfidf_classifier(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio leg with a REAL from-scratch codec
+    (operators/audio.py — RIFF/WAVE container + PCM samples, public spec,
+    stdlib-`wave`-parity-tested both ways; retires the audio half of the
+    multimodal deterministic-fake gate the way round 5's jpeg.py retired
+    the JPEG half). Each orderkey synthesizes a square-wave WAV natively
+    from its columns (period k%7+2, amplitude (k%50+10)*256, length
+    4000+(k%5)*800 at 8 kHz) inside a narrow mapInPandas, then the real
+    `audio_features` operator decodes it distributed (second narrow map,
+    no shuffle). Square waves have closed-form stats — peak=rms=A,
+    zero_crossings=(n-1)//period — so the oracle computes every feature
+    from the construction formulas, codec-independently."""
+    from trainable_entity_extractor_spark.operators.audio import (
+        audio_features,
+        square_wave,
+        wav_encode,
+    )
+
+    k = F.col("o_orderkey")
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 1500)
+        .select(
+            k.alias("orderkey"),
+            (k % 7 + 2).alias("period"),
+            ((k % 50 + 10) * 256).alias("amp"),
+            (F.lit(4000) + (k % 5) * 800).alias("n"),
+        )
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["orderkey"].astype(str),
+                    "blob": [
+                        wav_encode(square_wave(int(n), int(p), int(a)), 8000)
+                        for n, p, a in zip(pdf["n"], pdf["period"], pdf["amp"])
+                    ],
+                }
+            )
+
+    assets = rows.mapInPandas(synth, "asset_id string, blob binary")
+    return (
+        audio_features(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("orderkey"),
+            "format",
+            "sample_rate",
+            "channels",
+            "n_frames",
+            "peak",
+            "rms",
+            "zero_crossings",
+        )
+        .orderBy("orderkey")
+    )
+
+
 def q_page_range_prune(spark, sf_dir):
     """A10 valid-page-range inference on the driver gate
     (operators/page_ranges.py — reference
@@ -2294,6 +2414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_range_prune": q_page_range_prune,
         "tfidf_classifier": q_tfidf_classifier,
         "poppler_parse": q_poppler_parse,
+        "audio_features": q_audio_features,
+        "streaming_running_totals": q_streaming_running_totals,
     }
 
 
@@ -2967,6 +3089,30 @@ def _oracle_sql_base() -> dict[str, str]:
                        CASE WHEN p <= 7 THEN p ELSE 8 END, 1, p FROM base
             )
             ORDER BY orderkey, mode
+        """,
+        "streaming_running_totals": """
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   sum(event_id)::BIGINT AS sum_event_id
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "audio_features": """
+            WITH base AS (
+                SELECT o_orderkey AS orderkey,
+                       (o_orderkey % 7 + 2) AS period,
+                       (o_orderkey % 50 + 10) * 256 AS amp,
+                       4000 + (o_orderkey % 5) * 800 AS n
+                FROM orders WHERE o_orderkey < 1500
+            )
+            SELECT orderkey,
+                   'pcm16' AS format,
+                   8000::INT AS sample_rate,
+                   1::INT AS channels,
+                   n::BIGINT AS n_frames,
+                   amp::BIGINT AS peak,
+                   amp::BIGINT AS rms,
+                   ((n - 1) // period)::BIGINT AS zero_crossings
+            FROM base ORDER BY orderkey
         """,
         "poppler_parse": """
             WITH base AS (

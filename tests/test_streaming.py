@@ -4,6 +4,8 @@ batch triple-extraction stage and lands manifested output."""
 import json
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from trainable_entity_extractor_spark.kg.triples import options_df
 from trainable_entity_extractor_spark.sources.synth_pages import PHRASES, synth_pages
 from trainable_entity_extractor_spark.streaming.micro_batch import stream_pages_to_triples
@@ -144,3 +146,53 @@ def test_watermarked_windowed_counts_drop_late_data(spark, tmp_path):
     # the 02:00 window never emitted (watermark never passed its end)
     assert ("02:00", "y") not in rows
     assert len(rows) == 3
+
+
+def test_running_totals_across_micro_batches(spark, tmp_path):
+    """Custom stateful aggregator: per-key (count, sum) state must
+    accumulate across micro-batches, and max() over the emitted running
+    totals must equal the batch GROUP BY no matter the file split."""
+    from trainable_entity_extractor_spark.streaming.micro_batch import running_totals
+
+    rows = [(i % 5, i) for i in range(100)]  # 5 keys x 20 rows
+    df = spark.createDataFrame(rows, "user_id long, event_id long")
+    in_dir = str(tmp_path / "rt_in")
+    df.repartition(4).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        running_totals(stream, "user_id", "event_id")
+        .writeStream.format("memory")
+        .queryName("rt_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    emitted = spark.table("rt_test").collect()
+    # multiple micro-batches actually ran: some key emitted more than once
+    per_key_emits = {}
+    for r in emitted:
+        per_key_emits[r["user_id"]] = per_key_emits.get(r["user_id"], 0) + 1
+    assert max(per_key_emits.values()) > 1
+
+    final = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in spark.table("rt_test")
+        .groupBy("user_id")
+        .agg(F.max("n_so_far").alias("n"), F.max("total_so_far").alias("s"))
+        .collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    assert final == expect

@@ -83,6 +83,46 @@ def first_seen(stream_df: DataFrame, key_col: str):
     )
 
 
+def running_totals(
+    stream_df: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Custom stateful streaming AGGREGATOR (applyInPandasWithState):
+    per-key state is (count, integer total); every micro-batch where a
+    key appears emits that key's running totals AFTER the batch. The
+    streaming analog of `groupBy(key).agg(count, sum)` with
+    user-controlled state — the §2.10 'custom stateful operator' slot
+    beyond first_seen's boolean dedup state.
+
+    Order-insensitivity contract (what makes this oracle-able): the
+    emission after the FINAL batch a key appears in always equals the
+    key's whole-stream totals, and running counts/totals of nonnegative
+    contributions only grow — so `max()` over all emitted rows per key
+    reproduces the batch aggregate no matter how rows were split into
+    micro-batches or ordered within them. State is two longs per key:
+    O(distinct keys), crawl-scale safe."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                total += int(pdf[val_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_so_far": [n], "total_so_far": [total]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n_so_far long, total_so_far long",
+        stateStructType="n long, total long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -1404,6 +1404,216 @@ def q_regex_extraction(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+# fuzzy first/last entry labels: mutually non-substring, letters-only (the
+# digit-filler segments share no letters, so no sub-100 threshold can fire
+# before the planted verbatim hit). The SQL oracle embeds the same list.
+_FFL_LABELS = ["human rights council", "general assembly", "security council"]
+
+
+def q_fuzzy_first_last(spark, sf_dir):
+    """J2/M5 first+last fuzzy appearance on the driver gate
+    (functions/fuzzy.py fuzzy_first_last_appearance — reference
+    FuzzyFirst.py:21-31 / FuzzyLast.py scan order: segments in (reverse)
+    order, thresholds 100→70 step −10, options longest-first, first hit
+    wins; previously exercised only inside the tournament entries). Six
+    segments per orderkey: two planted verbatim labels at formula
+    positions p1=k%6 and p2=(5k+3)%6 (never equal: 4k+3 is odd mod 6),
+    digit-only filler elsewhere — filler shares no letters with any
+    label, so the scan provably first fires at threshold 100 on the
+    planted segments and (first, last) = labels at (min, max) position.
+    The kernel runs both directions in one Arrow batch; the oracle
+    rebuilds labels AND context texts from the same formulas."""
+    from trainable_entity_extractor_spark.functions.fuzzy import (
+        fuzzy_first_last_appearance,
+    )
+
+    opts = sorted(_FFL_LABELS, key=len, reverse=True)
+    labels = F.array(*[F.lit(x) for x in _FFL_LABELS])
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    p1 = (k % 6).cast("int")
+    p2 = ((k * 5 + 3) % 6).cast("int")
+    a = (k % 3).cast("int")
+    la = F.element_at(labels, a + 1)
+    lb = F.element_at(labels, (a + 1) % 3 + 1)
+    segs = F.array(
+        *[
+            F.when(
+                F.lit(i) == p1,
+                F.concat(F.lit(f"entry "), k, F.lit(f" item {i} "), la, F.lit(" noted")),
+            )
+            .when(
+                F.lit(i) == p2,
+                F.concat(F.lit(f"entry "), k, F.lit(f" item {i} "), lb, F.lit(" noted")),
+            )
+            .otherwise(F.concat(k.cast("string"), F.lit(f" {i} 0000 1111")))
+            for i in range(6)
+        ]
+    )
+
+    @F.pandas_udf(
+        "struct<first_label:string,first_ctx:string,last_label:string,last_ctx:string>"
+    )
+    def ffl_udf(seg_lists: pd.Series) -> pd.DataFrame:
+        recs = []
+        for segs_ in seg_lists:
+            first = fuzzy_first_last_appearance(list(segs_), opts, False)
+            last = fuzzy_first_last_appearance(list(segs_), opts, True)
+            recs.append(
+                {
+                    "first_label": first[0] if first else None,
+                    "first_ctx": first[1] if first else None,
+                    "last_label": last[0] if last else None,
+                    "last_ctx": last[1] if last else None,
+                }
+            )
+        return pd.DataFrame(recs)
+
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), ffl_udf(segs).alias("r"))
+        .select("orderkey", "r.first_label", "r.first_ctx", "r.last_label", "r.last_ctx")
+        .orderBy("orderkey")
+    )
+
+
+def q_regex_subtraction(spark, sf_dir):
+    """X10 regex-subtraction method end-to-end on the driver gate
+    (methods/text_to_text.py RegexSubtractionMethod — reference
+    RegexSubtractionMethod.py:13-96: learn boundary regexes from the
+    (input − label) prefixes/suffixes of the TRAIN set via rexpy
+    induction, strip them at predict; previously pytest-only). Fit runs
+    driver-side on a 30-row constructed corpus with constant boundaries
+    ('Ref: ' / ' .End'), so the induced artifact is exactly one front +
+    one back regex; predict runs the real pandas kernel distributed
+    (mapInPandas, no shuffle) over orderkey-formula inputs. The oracle
+    rebuilds the stripped value ('w'||orderkey) from the construction —
+    induction- and kernel-independent."""
+    from trainable_entity_extractor_spark.methods.text_to_text import (
+        RegexSubtractionMethod,
+    )
+
+    method = RegexSubtractionMethod()
+    train = pd.DataFrame(
+        {
+            "source_text": [f"Ref: v{i:04d} .End" for i in range(30)],
+            "label_text": [f"v{i:04d}" for i in range(30)],
+        }
+    )
+    assert method.can_be_used(train, {})
+    artifact = method.fit(train, {})
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    rows = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat(F.lit("Ref: w"), F.col("o_orderkey"), F.lit(" .End")).alias(
+            "source_text"
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "orderkey": pdf["orderkey"],
+                    "value": method.predict_pandas(pdf, {}, artifact),
+                }
+            )
+
+    return rows.mapInPandas(run, "orderkey long, value string").orderBy("orderkey")
+
+
+def q_context_markup(spark, sf_dir):
+    """X12 suggestion-context HTML markup on the driver gate
+    (functions/context_markup.py format_segment_text — reference
+    domain/FormatSegmentText.py:14-183 output contract: matching
+    paragraphs as <p class="ix_matching_paragraph"> with
+    <span class="ix_match"> highlights, ±1 neighbors as
+    ix_adjacent_paragraph, others dropped; previously pytest-only).
+    Three paragraphs per orderkey, an escape-free non-date label
+    'tag'||k%7 planted exactly once at position k%3 — the exact-regex
+    path fires (no fuzzy, no date components), so the full markup string
+    is a closed-form function of (k%3, k%7) that the oracle assembles
+    with CASE + concatenation, kernel-independently."""
+    from trainable_entity_extractor_spark.functions.context_markup import (
+        format_segment_text,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    p = (k % 3).cast("int")
+    label = F.concat(F.lit("tag"), (k % 7).cast("string"))
+    bases = [
+        F.concat(F.lit("alpha section "), k.cast("string")),
+        F.concat(F.lit("middle part "), k.cast("string")),
+        F.concat(F.lit("closing note "), k.cast("string")),
+    ]
+    texts = F.array(
+        *[
+            F.when(
+                F.lit(i) == p, F.concat(b, F.lit(" has "), label, F.lit(" inside"))
+            ).otherwise(b)
+            for i, b in enumerate(bases)
+        ]
+    )
+
+    @F.pandas_udf("string")
+    def markup_udf(text_lists: pd.Series, labels_: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                format_segment_text(list(ts), lb)
+                for ts, lb in zip(text_lists, labels_)
+            ]
+        )
+
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        markup_udf(texts, label).alias("markup"),
+    ).orderBy("orderkey")
+
+
+def q_identity_methods(spark, sf_dir):
+    """M1 identity methods on the driver gate (methods/text_to_text.py
+    SameInputOutputMethod + InputWithoutSpaces — reference
+    SameInputOutputMethod.py / InputWithoutSpaces.py: whitespace-
+    normalized echo and whitespace-stripped echo, the tournament's
+    baseline rungs; previously exercised only inside tournament_e2e).
+    Inputs carry irregular runs of spaces built by formula; both real
+    pandas kernels run in one distributed mapInPandas and the oracle
+    rebuilds both outputs with plain concatenation."""
+    from trainable_entity_extractor_spark.methods.text_to_text import (
+        InputWithoutSpaces,
+        SameInputOutputMethod,
+    )
+
+    ident, nospace = SameInputOutputMethod(), InputWithoutSpaces()
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    rows = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat(
+            F.lit("  item   "),
+            k.cast("string"),
+            F.lit("  of  batch "),
+            (k % 9).cast("string"),
+            F.lit(" "),
+        ).alias("source_text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "orderkey": pdf["orderkey"],
+                    "normalized": ident.predict_pandas(pdf, {}, {}),
+                    "squashed": nospace.predict_pandas(pdf, {}, {}),
+                }
+            )
+
+    return rows.mapInPandas(
+        run, "orderkey long, normalized string, squashed string"
+    ).orderBy("orderkey")
+
+
 def _country_pairs() -> list[tuple[str, str]]:
     """Deterministic (canonical, variant) pairs whose embedding sentence
     yields exactly one gazetteer hit — computed once from the same public
@@ -2416,6 +2626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poppler_parse": q_poppler_parse,
         "audio_features": q_audio_features,
         "streaming_running_totals": q_streaming_running_totals,
+        "fuzzy_first_last": q_fuzzy_first_last,
+        "regex_subtraction": q_regex_subtraction,
+        "context_markup": q_context_markup,
+        "identity_methods": q_identity_methods,
     }
 
 
@@ -3113,6 +3327,66 @@ def _oracle_sql_base() -> dict[str, str]:
                    amp::BIGINT AS rms,
                    ((n - 1) // period)::BIGINT AS zero_crossings
             FROM base ORDER BY orderkey
+        """,
+        "fuzzy_first_last": """
+            WITH base AS (
+                SELECT o_orderkey AS orderkey,
+                       (o_orderkey % 6)::INT AS p1,
+                       ((o_orderkey * 5 + 3) % 6)::INT AS p2,
+                       (o_orderkey % 3)::INT AS a
+                FROM orders WHERE o_orderkey < 2500
+            ), lab AS (
+                SELECT orderkey, p1, p2,
+                       list_extract(['human rights council','general assembly',
+                                     'security council'], a + 1) AS la,
+                       list_extract(['human rights council','general assembly',
+                                     'security council'], (a + 1) % 3 + 1) AS lb
+                FROM base
+            )
+            SELECT orderkey,
+                   CASE WHEN p1 < p2 THEN la ELSE lb END AS first_label,
+                   'entry ' || orderkey || ' item ' || least(p1, p2) || ' ' ||
+                       (CASE WHEN p1 < p2 THEN la ELSE lb END) || ' noted' AS first_ctx,
+                   CASE WHEN p1 < p2 THEN lb ELSE la END AS last_label,
+                   'entry ' || orderkey || ' item ' || greatest(p1, p2) || ' ' ||
+                       (CASE WHEN p1 < p2 THEN lb ELSE la END) || ' noted' AS last_ctx
+            FROM lab ORDER BY orderkey
+        """,
+        "regex_subtraction": """
+            SELECT o_orderkey AS orderkey, 'w' || o_orderkey AS value
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
+        """,
+        "context_markup": """
+            WITH base AS (
+                SELECT o_orderkey AS orderkey,
+                       (o_orderkey % 3) AS p,
+                       (o_orderkey % 7) AS m,
+                       'alpha section ' || o_orderkey AS b0,
+                       'middle part ' || o_orderkey AS b1,
+                       'closing note ' || o_orderkey AS b2
+                FROM orders WHERE o_orderkey < 2500
+            ), parts AS (
+                SELECT orderkey, p,
+                       '<p class="ix_matching_paragraph">' ||
+                       (CASE p WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END) ||
+                       ' has <span class="ix_match">tag' || m ||
+                       '</span> inside</p>' AS mp,
+                       '<p class="ix_adjacent_paragraph">' || b0 || '</p>' AS a0,
+                       '<p class="ix_adjacent_paragraph">' || b1 || '</p>' AS a1,
+                       '<p class="ix_adjacent_paragraph">' || b2 || '</p>' AS a2
+                FROM base
+            )
+            SELECT orderkey,
+                   CASE p WHEN 0 THEN mp || a1
+                          WHEN 1 THEN a0 || mp || a2
+                          ELSE a1 || mp END AS markup
+            FROM parts ORDER BY orderkey
+        """,
+        "identity_methods": """
+            SELECT o_orderkey AS orderkey,
+                   'item ' || o_orderkey || ' of batch ' || (o_orderkey % 9) AS normalized,
+                   'item' || o_orderkey || 'ofbatch' || (o_orderkey % 9) AS squashed
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "poppler_parse": """
             WITH base AS (

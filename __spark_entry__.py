@@ -1322,6 +1322,105 @@ def q_lineage_replay(spark, sf_dir):
     )
 
 
+def q_orchestration_hygiene(spark, sf_dir):
+    """O6+O7 orchestration policies on the driver gate (domain.py
+    clean_stale_extractions / ExtractionIdentifier.ensure_fresh_folder —
+    reference ExtractionIdentifier.is_old:52-54 2-day staleness window +
+    LocalJobExecutor.ensure_fresh_model_folder:33-46 — and
+    extractors/base.py get_train_test_split / get_stratified_split —
+    reference ExtractorBase.get_train_test_sets:60-76 and
+    TextToMultiOptionExtractor.py:134-194; previously pytest-only). The
+    entry LIVES the hygiene workflow driver-side: a backdated extraction
+    dir is swept while a fresh sibling survives; a stale half-written
+    model folder is wiped (marker file gone) while a fresh one keeps its
+    artifacts; the three deterministic split regimes (<8 → all/all,
+    n<15 → 80%/last-10, else 80/20) and the label-stratified override
+    (>15% empty options on a 40-row 10-option corpus) are executed by
+    the real policies. Every emitted field is a pinned boolean/count the
+    oracle states as literals — any behavioral drift flips the hash."""
+    import shutil
+    import time
+    from pathlib import Path
+
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+        clean_stale_extractions,
+    )
+    from trainable_entity_extractor_spark.extractors.base import (
+        get_stratified_split,
+        get_train_test_split,
+    )
+
+    base = tempfile.mkdtemp(prefix="tee_hygiene_")
+    try:
+        old = Path(base) / "run1" / "old_e"
+        fresh = Path(base) / "run1" / "fresh_e"
+        old.mkdir(parents=True)
+        fresh.mkdir(parents=True)
+        os.utime(old, (time.time() - 3 * 86400,) * 2)
+        removed = clean_stale_extractions(base)
+        swept_stale = bool(str(old) in removed and not old.exists())
+        kept_fresh = bool(fresh.exists())
+
+        stale_ident = ExtractionIdentifier(
+            extraction_name="m1", run_name="run2", output_path=base
+        )
+        p = stale_ident.get_path()
+        p.mkdir(parents=True)
+        (p / "marker.txt").write_text("x")
+        os.utime(p, (time.time() - 7200,) * 2)
+        stale_ident.ensure_fresh_folder()
+        stale_folder_wiped = bool(p.exists() and not (p / "marker.txt").exists())
+
+        live_ident = ExtractionIdentifier(
+            extraction_name="m2", run_name="run2", output_path=base
+        )
+        p2 = live_ident.get_path()
+        p2.mkdir(parents=True)
+        (p2 / "marker.txt").write_text("x")
+        live_ident.ensure_fresh_folder()
+        fresh_folder_kept = bool((p2 / "marker.txt").exists())
+
+        sizes = []
+        for n in (5, 10, 100):
+            tr, te = get_train_test_split(pd.DataFrame({"x": range(n)}))
+            sizes += [len(tr), len(te)]
+
+        opts = [Option(id=f"o{i}", label=f"L{i}") for i in range(10)]
+        ctx = ExtractionContext(
+            identifier=ExtractionIdentifier(extraction_name="e", run_name="r"),
+            options=opts,
+        )
+        samples = pd.DataFrame(
+            [
+                {"x": i, "values": [{"id": f"o{i % 4}", "label": f"L{i % 4}"}]}
+                for i in range(40)
+            ]
+        )
+        s_tr, s_te = get_stratified_split(samples, ctx)
+        row = (
+            swept_stale,
+            kept_fresh,
+            stale_folder_wiped,
+            fresh_folder_kept,
+            *sizes,
+            len(s_tr),
+            len(s_te),
+            bool(not (set(s_tr.index) & set(s_te.index))),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "swept_stale boolean, kept_fresh boolean, stale_folder_wiped boolean, "
+        "fresh_folder_kept boolean, split5_train int, split5_test int, "
+        "split10_train int, split10_test int, split100_train int, "
+        "split100_test int, strat_train int, strat_test int, strat_disjoint boolean",
+    )
+
+
 def q_sanitize_language(spark, sf_dir):
     """F16 language sanitize on the driver gate (functions/text.py
     sanitize_language — 2-letter-prefix into the known locale set, else
@@ -2630,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_subtraction": q_regex_subtraction,
         "context_markup": q_context_markup,
         "identity_methods": q_identity_methods,
+        "orchestration_hygiene": q_orchestration_hygiene,
     }
 
 
@@ -3381,6 +3481,15 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "orchestration_hygiene": """
+            SELECT true AS swept_stale, true AS kept_fresh,
+                   true AS stale_folder_wiped, true AS fresh_folder_kept,
+                   5::INT AS split5_train, 5::INT AS split5_test,
+                   8::INT AS split10_train, 10::INT AS split10_test,
+                   80::INT AS split100_train, 20::INT AS split100_test,
+                   32::INT AS strat_train, 8::INT AS strat_test,
+                   true AS strat_disjoint
         """,
         "identity_methods": """
             SELECT o_orderkey AS orderkey,

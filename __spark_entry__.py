@@ -1322,6 +1322,69 @@ def q_lineage_replay(spark, sf_dir):
     )
 
 
+def q_date_pick(spark, sf_dir):
+    """W7 first/last date pick on the driver gate (methods/pdf_to_text.py
+    FirstDateMethod/LastDateMethod — reference FirstDateMethod.py /
+    LastDateMethod.py: scan segments in (reverse) order, first parseable
+    date wins; previously exercised only inside composed-method tests).
+    Five segments per orderkey: ISO dates derived from o_orderdate are
+    planted at formula positions p1=k%5 and p2=(p1+1+k%4)%5 (offset 1–4,
+    never equal), digit-free filler elsewhere — so FIRST picks the date
+    at min(p1,p2) and LAST the one at max(p1,p2), both computable from
+    the column. Fit runs driver-side (languages artifact); both real
+    pandas kernels run distributed in one mapInPandas. The oracle
+    rebuilds both dates with strftime/date arithmetic."""
+    from trainable_entity_extractor_spark.methods.pdf_to_text import (
+        FirstDateMethod,
+        LastDateMethod,
+    )
+
+    first_m, last_m = FirstDateMethod(), LastDateMethod()
+    artifact = first_m.fit(pd.DataFrame({"language_iso": ["en", "en"]}), {})
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate")
+    p1 = (k % 5).cast("int")
+    p2 = ((p1 + 1 + k % 4) % 5).cast("int")
+    fillers = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    segs = F.array(
+        *[
+            F.struct(
+                F.when(
+                    F.lit(i) == p1,
+                    F.concat(F.lit("signed on "), F.date_format(d, "yyyy-MM-dd")),
+                )
+                .when(
+                    F.lit(i) == p2,
+                    F.concat(
+                        F.lit("ratified on "),
+                        F.date_format(F.date_add(d, 40), "yyyy-MM-dd"),
+                    ),
+                )
+                .otherwise(F.lit(f"clause {fillers[i]} pending review"))
+                .alias("text")
+            )
+            for i in range(5)
+        ]
+    )
+    rows = o.select(F.col("o_orderkey").alias("orderkey"), segs.alias("segments"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "orderkey": pdf["orderkey"],
+                    "first_date": first_m.predict_pandas(pdf, {}, artifact),
+                    "last_date": last_m.predict_pandas(pdf, {}, artifact),
+                }
+            )
+
+    return rows.mapInPandas(
+        run, "orderkey long, first_date string, last_date string"
+    ).orderBy("orderkey")
+
+
 def q_orchestration_hygiene(spark, sf_dir):
     """O6+O7 orchestration policies on the driver gate (domain.py
     clean_stale_extractions / ExtractionIdentifier.ensure_fresh_folder —
@@ -2730,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_markup": q_context_markup,
         "identity_methods": q_identity_methods,
         "orchestration_hygiene": q_orchestration_hygiene,
+        "date_pick": q_date_pick,
     }
 
 
@@ -3481,6 +3545,20 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "date_pick": """
+            WITH base AS (
+                SELECT o_orderkey AS orderkey,
+                       (o_orderkey % 5)::INT AS p1,
+                       (((o_orderkey % 5) + 1 + o_orderkey % 4) % 5)::INT AS p2,
+                       strftime(o_orderdate, '%Y-%m-%d') AS d1,
+                       strftime(o_orderdate + INTERVAL 40 DAY, '%Y-%m-%d') AS d2
+                FROM orders WHERE o_orderkey < 2500
+            )
+            SELECT orderkey,
+                   CASE WHEN p1 < p2 THEN d1 ELSE d2 END AS first_date,
+                   CASE WHEN p1 < p2 THEN d2 ELSE d1 END AS last_date
+            FROM base ORDER BY orderkey
         """,
         "orchestration_hygiene": """
             SELECT true AS swept_stale, true AS kept_fresh,

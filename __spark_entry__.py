@@ -1638,6 +1638,68 @@ def q_fuzzy_first_last(spark, sf_dir):
     )
 
 
+# text-variant labels: all two-word (max_words=2 windows), letters-only —
+# digit filler words keep every non-planted window's fuzzy score far below
+# the 70 floor, so no early window can pre-empt the verbatim hit
+_TFFL_LABELS = ["human rights", "security council", "general assembly"]
+
+
+def q_text_fuzzy_first_last(spark, sf_dir):
+    """J2 text-variant first/last fuzzy appearance on the driver gate
+    (functions/fuzzy.py text_fuzzy_first_last_appearance — reference
+    TextFuzzyFirst.py:18-32 / TextFuzzyLast.py: sliding word windows of
+    width max(option word counts), thresholds 100→70 per window, first
+    hit wins; a genuinely different scan shape from the segment-list
+    variant gated by `fuzzy_first_last`). Thirteen digit words per
+    orderkey with two two-word labels spliced at formula positions
+    w1=k%5 and w2=7+k%4 (disjoint ranges); digit windows score far below
+    the 70 floor, so the forward scan provably first matches the label
+    at w1 and the reverse scan the one at w2. The oracle indexes the
+    same label list by the same formulas."""
+    from trainable_entity_extractor_spark.functions.fuzzy import (
+        text_fuzzy_first_last_appearance,
+    )
+
+    a1 = F.array(*[F.lit(x.split()[0]) for x in _TFFL_LABELS])
+    a2 = F.array(*[F.lit(x.split()[1]) for x in _TFFL_LABELS])
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    w1 = (k % 5).cast("int")
+    w2 = (F.lit(7) + k % 4).cast("int")
+    ai = (k % 3).cast("int")
+    bi = ((k + 1) % 3).cast("int")
+    words = [
+        F.when(F.lit(i) == w1, F.element_at(a1, ai + 1))
+        .when(F.lit(i) == w1 + 1, F.element_at(a2, ai + 1))
+        .when(F.lit(i) == w2, F.element_at(a1, bi + 1))
+        .when(F.lit(i) == w2 + 1, F.element_at(a2, bi + 1))
+        .otherwise(F.lit(str(1000 + 7 * i)))
+        for i in range(13)
+    ]
+    text = F.concat_ws(" ", *words)
+
+    @F.pandas_udf("struct<first_label:string,last_label:string>")
+    def tffl_udf(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "first_label": [
+                    text_fuzzy_first_last_appearance(t, _TFFL_LABELS, False)
+                    for t in texts
+                ],
+                "last_label": [
+                    text_fuzzy_first_last_appearance(t, _TFFL_LABELS, True)
+                    for t in texts
+                ],
+            }
+        )
+
+    return (
+        o.select(F.col("o_orderkey").alias("orderkey"), tffl_udf(text).alias("r"))
+        .select("orderkey", "r.first_label", "r.last_label")
+        .orderBy("orderkey")
+    )
+
+
 def q_regex_subtraction(spark, sf_dir):
     """X10 regex-subtraction method end-to-end on the driver gate
     (methods/text_to_text.py RegexSubtractionMethod — reference
@@ -2794,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identity_methods": q_identity_methods,
         "orchestration_hygiene": q_orchestration_hygiene,
         "date_pick": q_date_pick,
+        "text_fuzzy_first_last": q_text_fuzzy_first_last,
     }
 
 
@@ -3545,6 +3608,14 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "text_fuzzy_first_last": """
+            SELECT o_orderkey AS orderkey,
+                   list_extract(['human rights','security council',
+                                 'general assembly'], o_orderkey % 3 + 1) AS first_label,
+                   list_extract(['human rights','security council',
+                                 'general assembly'], (o_orderkey + 1) % 3 + 1) AS last_label
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "date_pick": """
             WITH base AS (

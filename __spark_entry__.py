@@ -1322,6 +1322,46 @@ def q_lineage_replay(spark, sf_dir):
     )
 
 
+def q_similarity_ratios(spark, sf_dir):
+    """X11 Indel/partial similarity kernels on the driver gate
+    (functions/fuzzy.py indel_ratio / partial_ratio — the from-scratch
+    rapidfuzz fuzz.ratio / fuzz.partial_ratio replacements underlying
+    every fuzzy operator; previously gated only through threshold
+    decisions inside other entries, never as raw scores). Prefix pairs
+    over a 10-char distinct alphabet have closed-form Indel similarity
+    100·2m/(m+10) — exactly representable IEEE ops on both engines, so
+    the DOUBLE scores hash-match bit-for-bit — and planting the needle
+    verbatim pins partial_ratio's window sweep at exactly 100.0."""
+    from trainable_entity_extractor_spark.functions.fuzzy import (
+        indel_ratio,
+        partial_ratio,
+    )
+
+    alpha = "abcdefghij"
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    m = (F.col("o_orderkey") % 9 + 1).cast("int")
+    rows = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        m.alias("m"),
+        F.substring(F.lit(alpha), 1, 10).substr(F.lit(1), m).alias("s1"),
+    )
+
+    @F.pandas_udf("struct<indel:double,partial:double>")
+    def ratio_udf(s1s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "indel": [indel_ratio(s, alpha) for s in s1s],
+                "partial": [partial_ratio(s, "xx " + s + " yy") for s in s1s],
+            }
+        )
+
+    return (
+        rows.select("orderkey", "m", ratio_udf(F.col("s1")).alias("r"))
+        .select("orderkey", "m", "r.indel", "r.partial")
+        .orderBy("orderkey")
+    )
+
+
 def q_date_pick(spark, sf_dir):
     """W7 first/last date pick on the driver gate (methods/pdf_to_text.py
     FirstDateMethod/LastDateMethod — reference FirstDateMethod.py /
@@ -2857,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orchestration_hygiene": q_orchestration_hygiene,
         "date_pick": q_date_pick,
         "text_fuzzy_first_last": q_text_fuzzy_first_last,
+        "similarity_ratios": q_similarity_ratios,
     }
 
 
@@ -3608,6 +3649,13 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "similarity_ratios": """
+            SELECT o_orderkey AS orderkey,
+                   (o_orderkey % 9 + 1)::INT AS m,
+                   (200.0 * (o_orderkey % 9 + 1)) / ((o_orderkey % 9 + 1) + 10) AS indel,
+                   100.0::DOUBLE AS partial
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "text_fuzzy_first_last": """
             SELECT o_orderkey AS orderkey,

@@ -2763,6 +2763,60 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """Multimodal video leg with a REAL from-scratch container + codec
+    (operators/video.py — MJPEG-in-AVI: RIFF 'AVI ' form with hdrl/movi
+    lists and idx1 index, frames decoded by the repo's own ITU-T T.81
+    baseline JPEG codec; retires the video half of the multimodal
+    deterministic-fake gate the way jpeg.py and audio.py retired the
+    image/audio halves). Each orderkey synthesizes a 3-frame AVI of
+    uniform 16x24 grayscale frames (luma (k*7+f*31)%200+20) in a narrow
+    mapInPandas, then the real `video_frame_stats` operator decodes it
+    distributed (second narrow map, no shuffle) and emits one row per
+    frame. Uniform 8x8-aligned frames survive JPEG quantization exactly,
+    so every frame's mean luma is a closed-form function of (orderkey,
+    frame_idx) the oracle computes from the formulas, codec- and
+    container-independently."""
+    from trainable_entity_extractor_spark.operators.video import (
+        avi_encode,
+        video_frame_stats,
+    )
+    import numpy as np
+
+    rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1200)
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for k in pdf["orderkey"]:
+                frames = [
+                    np.full((16, 24), (int(k) * 7 + f * 31) % 200 + 20, np.uint8)
+                    for f in range(3)
+                ]
+                blobs.append(avi_encode(frames, fps=10))
+            yield pd.DataFrame(
+                {"asset_id": pdf["orderkey"].astype(str), "blob": blobs}
+            )
+
+    assets = rows.mapInPandas(synth, "asset_id string, blob binary")
+    return (
+        video_frame_stats(assets)
+        .select(
+            F.col("asset_id").cast("long").alias("orderkey"),
+            "frame_idx",
+            "format",
+            "height",
+            "width",
+            "mean_luma",
+        )
+        .orderBy("orderkey", "frame_idx")
+    )
+
+
 def q_page_range_prune(spark, sf_dir):
     """A10 valid-page-range inference on the driver gate
     (operators/page_ranges.py — reference
@@ -2898,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_pick": q_date_pick,
         "text_fuzzy_first_last": q_text_fuzzy_first_last,
         "similarity_ratios": q_similarity_ratios,
+        "video_frames": q_video_frames,
     }
 
 
@@ -3649,6 +3704,17 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "video_frames": """
+            SELECT o_orderkey AS orderkey,
+                   f::INT AS frame_idx,
+                   'mjpeg' AS format,
+                   16::INT AS height,
+                   24::INT AS width,
+                   ((o_orderkey * 7 + f * 31) % 200 + 20)::BIGINT AS mean_luma
+            FROM orders, range(0, 3) t(f)
+            WHERE o_orderkey < 1200
+            ORDER BY orderkey, frame_idx
         """,
         "similarity_ratios": """
             SELECT o_orderkey AS orderkey,

@@ -389,7 +389,11 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame-sampling plumbing: emits N pseudo-frames per asset (byte
     slices standing in for decoded frames). One-to-many mapInPandas — the
-    partition-preserving explode shape a real ffmpeg sampler would use."""
+    partition-preserving explode shape a real ffmpeg sampler would use.
+    For REAL frame decode over MJPEG/AVI payloads use
+    operators/video.py `video_frame_stats` (same plumbing shape); this
+    byte-slice variant remains the documented fallback for container
+    formats the from-scratch codecs don't cover."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

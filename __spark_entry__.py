@@ -1425,6 +1425,53 @@ def q_date_pick(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+def q_empty_placeholder(spark, sf_dir):
+    """F15 empty-text placeholder on the driver gate
+    (extractors/registry.py — reference TextToMultiOptionExtractor.py:90:
+    empty/whitespace/NULL source_text becomes the 'EMPTY' placeholder;
+    previously pytest-only). Texts are dirtied four ways by orderkey
+    (clean, empty string, whitespace-only, NULL) and pushed through BOTH
+    real paths — the native `fix_empty_prediction` column expression and
+    the pandas `prepare_samples` kernel (in a mapInPandas) — emitting
+    both results so the oracle pins that the two implementations agree
+    with each other AND with the construction."""
+    from trainable_entity_extractor_spark.extractors.registry import (
+        TextToMultiOptionExtractor,
+    )
+
+    ext = TextToMultiOptionExtractor()
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    v = (k % 4).cast("int")
+    text = (
+        F.when(v == 0, F.concat(F.lit("order text "), k.cast("string")))
+        .when(v == 1, F.lit(""))
+        .when(v == 2, F.lit("   "))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = o.select(F.col("o_orderkey").alias("orderkey"), text.alias("source_text"))
+    fixed = ext.fix_empty_prediction(rows).withColumnRenamed(
+        "source_text", "native_fixed"
+    )
+
+    def pandas_path(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            prepared = ext.prepare_samples(pdf, None)
+            yield pd.DataFrame(
+                {
+                    "orderkey": pdf["orderkey"],
+                    "pandas_fixed": prepared["source_text"],
+                }
+            )
+
+    pandas_fixed = rows.mapInPandas(pandas_path, "orderkey long, pandas_fixed string")
+    return (
+        fixed.join(pandas_fixed, "orderkey")
+        .select("orderkey", "native_fixed", "pandas_fixed")
+        .orderBy("orderkey")
+    )
+
+
 def q_orchestration_hygiene(spark, sf_dir):
     """O6+O7 orchestration policies on the driver gate (domain.py
     clean_stale_extractions / ExtractionIdentifier.ensure_fresh_folder —
@@ -2953,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fuzzy_first_last": q_text_fuzzy_first_last,
         "similarity_ratios": q_similarity_ratios,
         "video_frames": q_video_frames,
+        "empty_placeholder": q_empty_placeholder,
     }
 
 
@@ -3704,6 +3752,16 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "empty_placeholder": """
+            SELECT o_orderkey AS orderkey,
+                   CASE WHEN o_orderkey % 4 = 0
+                        THEN 'order text ' || o_orderkey
+                        ELSE 'EMPTY' END AS native_fixed,
+                   CASE WHEN o_orderkey % 4 = 0
+                        THEN 'order text ' || o_orderkey
+                        ELSE 'EMPTY' END AS pandas_fixed
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "video_frames": """
             SELECT o_orderkey AS orderkey,

@@ -1425,6 +1425,68 @@ def q_date_pick(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+def q_gliner_date(spark, sf_dir):
+    """X8 GLiNER-slot date NER on the driver gate
+    (methods/text_to_text.py GlinerStyleDateMethod — the deterministic
+    stand-in reproducing reference GlinerDateParserMethod.py:13-57 +
+    GlinerDateExtractor.py:30-60: alnum normalization, 50-word windows
+    with 25-word stride, dedup, parseable filter, overlap removal, first
+    date wins; the neural tagger replaced by the pattern span tagger).
+    Each orderkey embeds ONE name-month date built from o_orderdate
+    ('March 14 1995' form — alnum-safe) at word position k%60 inside 70
+    letter-only filler words, so dates land in every window-overlap
+    regime (single-window, double-window, slide-boundary) and the dedup
+    + slide-index arithmetic is genuinely exercised. Fit runs
+    driver-side on ISO labels (valid gate); predict runs the real
+    pandas kernel distributed. The oracle is strftime(o_orderdate) —
+    tagger- and window-arithmetic-independent."""
+    from trainable_entity_extractor_spark.methods.text_to_text import (
+        GlinerStyleDateMethod,
+    )
+
+    method = GlinerStyleDateMethod()
+    artifact = method.fit(
+        pd.DataFrame({"label_text": ["1995-03-14", "12 March 1998"]}), {}
+    )
+    assert artifact == {"is_valid": True}
+
+    months = F.array(*[F.lit(m) for m in _MONTHS_EN])
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    d = F.col("o_orderdate")
+    w = (k % 60).cast("int")
+    date_words = F.concat(
+        F.element_at(months, F.month(d)),
+        F.lit(" "),
+        F.dayofmonth(d).cast("string"),
+        F.lit(" "),
+        F.year(d).cast("string"),
+    )
+    filler = F.array_repeat(F.lit("filler"), 70)
+    text = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(filler, 1, w + 1),
+            F.array(date_words),
+            F.slice(filler, 1, 69 - w),
+        ),
+    )
+    rows = o.select(F.col("o_orderkey").alias("orderkey"), text.alias("source_text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "orderkey": pdf["orderkey"],
+                    "extracted_date": method.predict_pandas(pdf, {}, artifact),
+                }
+            )
+
+    return rows.mapInPandas(run, "orderkey long, extracted_date string").orderBy(
+        "orderkey"
+    )
+
+
 def q_empty_placeholder(spark, sf_dir):
     """F15 empty-text placeholder on the driver gate
     (extractors/registry.py — reference TextToMultiOptionExtractor.py:90:
@@ -3001,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ratios": q_similarity_ratios,
         "video_frames": q_video_frames,
         "empty_placeholder": q_empty_placeholder,
+        "gliner_date": q_gliner_date,
     }
 
 
@@ -3752,6 +3815,11 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "gliner_date": """
+            SELECT o_orderkey AS orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS extracted_date
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "empty_placeholder": """
             SELECT o_orderkey AS orderkey,

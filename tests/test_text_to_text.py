@@ -158,3 +158,48 @@ def test_truecasing_method_tournament_fit_predict(tmp_path):
           "language_iso": "en", "segments": None}] * 4
     )
     assert not m.can_be_used(unrelated, ctx)
+
+
+def test_gliner_style_date_method():
+    """X8 slot stand-in: the reference's windowed-tagging algorithm shape
+    (GlinerDateParserMethod.py + GlinerDateExtractor.py) with the
+    deterministic pattern tagger in the model slot."""
+    from trainable_entity_extractor_spark.methods.text_to_text import (
+        GlinerStyleDateMethod,
+    )
+
+    m = GlinerStyleDateMethod()
+    train = pd.DataFrame(
+        {"label_text": ["1995-03-14", "12 March 1998"], "source_text": ["x", "y"]}
+    )
+    art = m.fit(train, {})
+    assert art == {"is_valid": True}
+
+    # invalid gate: any unfindable label marks the method invalid and
+    # predict returns '' for every row (the reference's is_valid file)
+    bad = m.fit(pd.DataFrame({"label_text": ["not a date"], "source_text": ["x"]}), {})
+    assert bad == {"is_valid": False}
+
+    pred = pd.DataFrame(
+        {
+            "source_text": [
+                # alnum normalization strips the comma; mdy_name still matches
+                "Adopted on March 14, 1995 in Geneva",
+                "no dates at all here",
+                # date starts at word ~46: covered by BOTH 50-word windows
+                # (stride 25) — the dedup + slide-index arithmetic must
+                # count it once and keep the FIRST date
+                " ".join(f"w{i}" for i in range(45))
+                + " signed 12 March 1998 and later 1 April 1999 end",
+            ]
+        }
+    )
+    assert list(m.predict_pandas(pred, {}, art)) == ["1995-03-14", "", "1998-03-12"]
+    assert list(m.predict_pandas(pred, {}, bad)) == ["", "", ""]
+
+    # empty label_texts are skipped by the train gate, not treated invalid
+    art2 = m.fit(
+        pd.DataFrame({"label_text": ["", "  ", "3 May 2001"], "source_text": ["x"] * 3}),
+        {},
+    )
+    assert art2 == {"is_valid": True}

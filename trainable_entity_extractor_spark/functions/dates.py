@@ -99,6 +99,21 @@ def search_dates(text: str, languages: list[str] | None = None) -> list[tuple[st
     return [(g, d) for _, g, d in found]
 
 
+def date_spans(text: str) -> list[dict]:
+    """Tag date-like spans as {'text','start','end'} dicts — the
+    deterministic stand-in for a neural span tagger's
+    `predict_entities(text, ["date"])` output contract (X8). Overlap
+    resolution is left to the caller (the reference resolves overlaps
+    AFTER windowed tagging, GlinerDateExtractor.py:17-28)."""
+    if not text:
+        return []
+    return [
+        {"text": m.group(), "start": m.start(), "end": m.end()}
+        for pattern, _ in _PATTERNS
+        for m in pattern.finditer(text)
+    ]
+
+
 def get_best_date(dates: list[tuple[str, datetime.date]]) -> datetime.date | None:
     """Reference DateParserMethod.get_best_date: prefer matches containing
     letters; else first match."""

@@ -19,6 +19,7 @@ from ..functions import rexpy_lite
 from ..functions.dates import (
     DOTTED_DATE_PATTERN,
     DOTTED_DMY_LANGUAGES,
+    date_spans,
     get_best_date,
     search_dates,
 )
@@ -245,6 +246,83 @@ class DateParserWithBreaksMethod(DateParserMethod):
         return get_best_date(dates)
 
 
+class GlinerStyleDateMethod(MethodBase):
+    """X8 GLiNER date-NER slot, deterministic stand-in (reference
+    GlinerDateParserMethod.py:13-57 + GlinerDateExtractor.py:30-60).
+    The whole surrounding algorithm is reproduced: predict-time
+    alphanumeric-with-spaces normalization, 50-word sliding windows with
+    25-word stride and the reference's slide-end index arithmetic,
+    unique-entity dedup (sort_keys JSON identity), parseable-date
+    filter, overlap removal sorted by (start, -len), first surviving
+    date wins; train validates that the first 15 non-empty label_texts
+    (un-normalized, as the reference does) each yield a findable date,
+    else the artifact is marked invalid and predict returns '' for every
+    row. Only the neural tagger itself is replaced: `predict_entities(
+    text, ["date"])` becomes functions/dates.py `date_spans` (same span
+    dict contract, documented weaker recall — e.g. the reference's
+    alnum normalization strips date punctuation, so ISO '1995-03-14'
+    predict inputs become '19950314', which a real GLiNER may still tag
+    but the pattern tagger will not). A real GLiNER backend drops into
+    `_tag_spans` unchanged."""
+
+    kind = "to_text"
+    WINDOW, SLIDE = 50, 25
+
+    @staticmethod
+    def _alnum(text: str) -> str:
+        return "".join(c for c in text if c.isalnum() or c.isspace())
+
+    @staticmethod
+    def _tag_spans(text: str) -> list[dict]:
+        return date_spans(text)
+
+    @classmethod
+    def _extract_dates(cls, text: str):
+        import json as _json
+
+        words = text.split()
+        entities: list[dict] = []
+        last_slide_end_index = 0
+        for i in range(0, len(words), cls.SLIDE):
+            window_text = " ".join(words[i : i + cls.WINDOW])
+            window_entities = cls._tag_spans(window_text)
+            for e in window_entities:
+                e["start"] += last_slide_end_index
+                e["end"] += last_slide_end_index
+            slide_text = " ".join(words[i : i + cls.SLIDE])
+            last_slide_end_index += len(slide_text) + 1
+            entities.extend(window_entities)
+        unique = list(
+            {_json.dumps(d, sort_keys=True): d for d in entities}.values()
+        )
+        unique = [e for e in unique if search_dates(e["text"])]
+        result, last_end = [], -1
+        for e in sorted(unique, key=lambda x: (x["start"], -len(x["text"]))):
+            if e["start"] >= last_end:
+                result.append(e)
+                last_end = e["end"]
+        return [d[1] for e in result for d in search_dates(e["text"])]
+
+    def fit(self, train_pdf, ctx) -> dict[str, Any]:
+        for _, row in train_pdf.head(15).iterrows():
+            label = (row.get("label_text") or "").strip()
+            if not label:
+                continue
+            if not self._extract_dates(label):
+                return {"is_valid": False}
+        return {"is_valid": True}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        if not artifact.get("is_valid", True):
+            return pd.Series([""] * len(pdf), index=pdf.index, dtype=object)
+        out = []
+        for _, row in pdf.iterrows():
+            text = self._alnum(" ".join(input_texts_by_lines(row)))
+            dates = self._extract_dates(text)
+            out.append(dates[0].strftime("%Y-%m-%d") if dates else "")
+        return pd.Series(out, index=pdf.index, dtype=object)
+
+
 class NerFirstAppearanceMethod(MethodBase):
     """W8/M4 (NerFirstAppearanceMethod.py:13-49): learn the MODE span tag
     whose spans contain the label, predict the first span of that type.
@@ -352,9 +430,10 @@ TEXT_TO_TEXT_METHODS: list[type[MethodBase]] = [
     RegexSubtractionMethod,
     DateParserWithBreaksMethod,
     DateParserMethod,
+    GlinerStyleDateMethod,  # X8 slot: deterministic span tagger stand-in
     NerFirstAppearanceMethod,
     NerLastAppearanceMethod,
-    # GlinerDateParser / Gemini / Ollama slots: external models or network
-    # services (reference M4-gliner/M9) — absent in this build.
+    # Gemini / Ollama slots: network services (reference M9) — absent in
+    # this build.
     TrueCasingMethod,  # MT5TrueCaseEnglishSpanish position (truecasing facet)
 ]

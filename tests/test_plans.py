@@ -182,3 +182,26 @@ def test_link_mentions_portable_keyed_by_band_key(spark):
     assert all(a < b for a, b in got)
     # deterministic across re-evaluation
     assert got == {(r["a"], r["b"]): r["agreement"] for r in out.collect()}
+
+
+def test_media_feature_operators_are_narrow(spark):
+    """The media decode operators (audio features, video frame stats) are
+    pure per-row work and must plan as a single narrow map over the scan
+    — no Exchange, no shuffle, so at 100 TB they inherit the asset
+    table's partitioning untouched."""
+    from trainable_entity_extractor_spark.operators.audio import (
+        audio_features,
+        synth_wav_rows,
+    )
+    from trainable_entity_extractor_spark.operators.video import (
+        synth_avi_rows,
+        video_frame_stats,
+    )
+
+    wavs = spark.createDataFrame(synth_wav_rows(4), "asset_id string, blob binary")
+    plan = _plan(audio_features(wavs))
+    assert "Exchange" not in plan
+
+    avis = spark.createDataFrame(synth_avi_rows(3), "asset_id string, blob binary")
+    plan = _plan(video_frame_stats(avis))
+    assert "Exchange" not in plan

@@ -1425,6 +1425,80 @@ def q_date_pick(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+def q_suggestion_format(spark, sf_dir):
+    """S7 suggestion output contract on the driver gate
+    (extractors/base.py get_suggestions_spark — reference Suggestion.py +
+    SegmentBox.py:10: values with ix-markup context, entity page_number
+    from the first context segment, segments_boxes scaled UP by 1/0.75
+    with integral rounding; the geometry/markup half was previously only
+    pytest-gated — earlier entries project value ids alone). One segment
+    per orderkey embeds an option label verbatim at threshold 100
+    (FuzzyAll100), with formula geometry chosen so every scaled box
+    coordinate is integral (no rounding ambiguity): left=30(k%4)→
+    40(k%4), top 15→20, width 60→80, height 12→16, page k%3+1. The
+    oracle rebuilds the full flattened row — id, label, the exact
+    ix_matching_paragraph/ix_match markup string, page, and all five box
+    fields — from the construction."""
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+    )
+    from trainable_entity_extractor_spark.extractors.base import ExtractorBase
+    from trainable_entity_extractor_spark.methods.pdf_to_multi_option import (
+        FuzzyAll100,
+    )
+
+    labels = ["human rights", "rule of law", "food security"]
+    options = [Option(str(i + 1), lab) for i, lab in enumerate(labels)]
+    ctx = ExtractionContext(
+        ExtractionIdentifier("suggestion_format_entry"), options=options
+    )
+    method = FuzzyAll100()
+
+    k = F.col("o_orderkey")
+    lab_arr = F.array(*[F.lit(x) for x in labels])
+    j = (k % 3).cast("int")
+    seg_text = F.concat(
+        F.lit("the committee noted "), F.element_at(lab_arr, j + 1), F.lit(" today")
+    )
+    seg = F.struct(
+        F.lit(0).alias("seg_idx"),
+        (k % 3 + 1).cast("int").alias("page"),
+        (30.0 * (k % 4)).alias("left"),
+        F.lit(15.0).alias("top"),
+        F.lit(60.0).alias("width"),
+        F.lit(12.0).alias("height"),
+        F.lit("TEXT").alias("seg_type"),
+        seg_text.alias("text"),
+        F.lit(0).alias("ml_label"),
+    )
+    pred_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 1500)
+        .select(
+            k.cast("string").alias("entity_name"),
+            F.lit("").alias("source_text"),
+            F.array(seg).alias("segments"),
+        )
+    )
+    sug = ExtractorBase().get_suggestions_spark(pred_rows, method, ctx, {})
+    v = F.element_at(F.col("values"), 1)
+    b = F.element_at(F.col("segments_boxes"), 1)
+    return sug.select(
+        F.col("entity_name").cast("long").alias("orderkey"),
+        v["id"].alias("value_id"),
+        v["label"].alias("value_label"),
+        v["segment_text"].alias("markup"),
+        F.col("page_number"),
+        b["left"].alias("box_left"),
+        b["top"].alias("box_top"),
+        b["width"].alias("box_width"),
+        b["height"].alias("box_height"),
+        b["page_number"].alias("box_page"),
+    ).orderBy("orderkey")
+
+
 def q_gliner_date(spark, sf_dir):
     """X8 GLiNER-slot date NER on the driver gate
     (methods/text_to_text.py GlinerStyleDateMethod — the deterministic
@@ -3064,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "empty_placeholder": q_empty_placeholder,
         "gliner_date": q_gliner_date,
+        "suggestion_format": q_suggestion_format,
     }
 
 
@@ -3815,6 +3890,27 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "suggestion_format": """
+            WITH base AS (
+                SELECT o_orderkey AS orderkey,
+                       (o_orderkey % 3)::INT AS j,
+                       list_extract(['human rights','rule of law','food security'],
+                                    (o_orderkey % 3)::INT + 1) AS lab
+                FROM orders WHERE o_orderkey < 1500
+            )
+            SELECT orderkey,
+                   (j + 1)::VARCHAR AS value_id,
+                   lab AS value_label,
+                   '<p class="ix_matching_paragraph">the committee noted ' ||
+                   '<span class="ix_match">' || lab || '</span> today</p>' AS markup,
+                   (j + 1)::INT AS page_number,
+                   (30.0 * (orderkey % 4) / 0.75)::DOUBLE AS box_left,
+                   20.0::DOUBLE AS box_top,
+                   80.0::DOUBLE AS box_width,
+                   16.0::DOUBLE AS box_height,
+                   (j + 1)::INT AS box_page
+            FROM base ORDER BY orderkey
         """,
         "gliner_date": """
             SELECT o_orderkey AS orderkey,

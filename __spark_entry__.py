@@ -1425,6 +1425,47 @@ def q_date_pick(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+def q_scoring_metrics(spark, sf_dir):
+    """A5/A6 tournament scoring on the driver gate (extractors/base.py
+    micro_f1 / exact_match_accuracy — reference
+    TextToMultiOptionExtractor one-hot micro-F1 and
+    ToTextExtractorMethod.py:79-86 normalized exact match; previously
+    gated only through tournament WINNERS, never as raw scores). Three
+    formula-constructed scenarios with hand-derived values — 25% planted
+    single-label errors (F1=75), systematic missing second label
+    (F1=2·60·100/180), whitespace-insensitive exact match with 25%
+    mismatches (75) — plus both empty-input edge cases; the real kernels
+    run and the oracle states the closed-form literals."""
+    from trainable_entity_extractor_spark.extractors.base import (
+        exact_match_accuracy,
+        micro_f1,
+    )
+
+    opts = [f"o{j}" for j in range(5)]
+    truth = [[f"o{i % 5}"] for i in range(100)]
+    preds = [[f"o{i % 5}"] if i % 4 else [f"o{(i + 1) % 5}"] for i in range(100)]
+    f1_single = micro_f1(truth, preds, opts)
+
+    f1_partial = micro_f1([["o0", "o1"]] * 60, [["o0"]] * 60, ["o0", "o1", "o2"])
+
+    t_txt = [f"text {i % 5}" for i in range(100)]
+    p_txt = [f"text  {i % 5} " if i % 4 else "wrong" for i in range(100)]
+    acc = exact_match_accuracy(t_txt, p_txt)
+
+    row = (
+        float(f1_single),
+        float(f1_partial),
+        float(acc),
+        float(micro_f1([], [], opts)),
+        float(exact_match_accuracy([], [])),
+    )
+    return spark.createDataFrame(
+        [row],
+        "f1_single double, f1_partial double, exact_acc double, "
+        "f1_empty double, acc_empty double",
+    )
+
+
 def q_suggestion_format(spark, sf_dir):
     """S7 suggestion output contract on the driver gate
     (extractors/base.py get_suggestions_spark — reference Suggestion.py +
@@ -3139,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "empty_placeholder": q_empty_placeholder,
         "gliner_date": q_gliner_date,
         "suggestion_format": q_suggestion_format,
+        "scoring_metrics": q_scoring_metrics,
     }
 
 
@@ -3890,6 +3932,13 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "scoring_metrics": """
+            SELECT 75.0::DOUBLE AS f1_single,
+                   (100.0 * 2 * 60 / 180)::DOUBLE AS f1_partial,
+                   75.0::DOUBLE AS exact_acc,
+                   100.0::DOUBLE AS f1_empty,
+                   0.0::DOUBLE AS acc_empty
         """,
         "suggestion_format": """
             WITH base AS (

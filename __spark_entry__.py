@@ -1425,6 +1425,56 @@ def q_date_pick(spark, sf_dir):
     ).orderBy("orderkey")
 
 
+def q_llm_codegen(spark, sf_dir):
+    """M9 LLM-codegen slot on the driver gate (methods/llm_codegen.py
+    LlmCodegenTextMethod — the reference's Gemini/Ollama program-
+    synthesis loop, GeminiTextMethod.py:10-48 + GeminiRun.py:17-228,
+    with the deterministic synthesizer in the pluggable model slot).
+    Fit runs the real 5→15→45 escalation driver-side on 30 constructed
+    examples whose outputs share one induced shape ([A-Za-z]{2}-\\d{4}),
+    so the synthesized artifact is a regex-family `extract` function;
+    predict executes that GENERATED CODE distributed (restricted-exec
+    inside mapInPandas) over inputs with different surrounding text than
+    training — proving the synthesized program generalizes rather than
+    memorizing boundaries. The oracle rebuilds the expected code string
+    from the orderkey formula, synthesizer-independently."""
+    from trainable_entity_extractor_spark.methods.llm_codegen import (
+        LlmCodegenTextMethod,
+    )
+
+    method = LlmCodegenTextMethod()
+    train = pd.DataFrame(
+        {
+            "source_text": [f"invoice AB-{1000 + i * 7} processed" for i in range(30)],
+            "label_text": [f"AB-{1000 + i * 7}" for i in range(30)],
+        }
+    )
+    artifact = method.fit(train, {})
+    assert "re.search" in artifact["code"]
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    k = F.col("o_orderkey")
+    rows = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat(
+            F.lit("document AB-"),
+            (k % 9000 + 1000).cast("string"),
+            F.lit(" archived today"),
+        ).alias("source_text"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "orderkey": pdf["orderkey"],
+                    "value": method.predict_pandas(pdf, {}, artifact),
+                }
+            )
+
+    return rows.mapInPandas(run, "orderkey long, value string").orderBy("orderkey")
+
+
 def q_scoring_metrics(spark, sf_dir):
     """A5/A6 tournament scoring on the driver gate (extractors/base.py
     micro_f1 / exact_match_accuracy — reference
@@ -3181,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gliner_date": q_gliner_date,
         "suggestion_format": q_suggestion_format,
         "scoring_metrics": q_scoring_metrics,
+        "llm_codegen": q_llm_codegen,
     }
 
 
@@ -3932,6 +3983,11 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHEN 1 THEN a0 || mp || a2
                           ELSE a1 || mp END AS markup
             FROM parts ORDER BY orderkey
+        """,
+        "llm_codegen": """
+            SELECT o_orderkey AS orderkey,
+                   'AB-' || (o_orderkey % 9000 + 1000) AS value
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "scoring_metrics": """
             SELECT 75.0::DOUBLE AS f1_single,

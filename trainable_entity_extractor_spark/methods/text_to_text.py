@@ -24,6 +24,7 @@ from ..functions.dates import (
     search_dates,
 )
 from .base import MethodBase, input_text, input_texts_by_lines
+from .llm_codegen import LlmCodegenTextMethod
 
 
 def _rows(pdf: pd.DataFrame):
@@ -433,7 +434,9 @@ TEXT_TO_TEXT_METHODS: list[type[MethodBase]] = [
     GlinerStyleDateMethod,  # X8 slot: deterministic span tagger stand-in
     NerFirstAppearanceMethod,
     NerLastAppearanceMethod,
-    # Gemini / Ollama slots: network services (reference M9) — absent in
-    # this build.
+    LlmCodegenTextMethod,  # M9 Gemini/Ollama slot: iterative codegen loop
+    # with the deterministic synthesizer in the model slot (a hosted
+    # client drops into code_model); the second M9 seat (Ollama) is the
+    # same loop with a different client, so one registration covers both.
     TrueCasingMethod,  # MT5TrueCaseEnglishSpanish position (truecasing facet)
 ]

@@ -1475,6 +1475,80 @@ def q_llm_codegen(spark, sf_dir):
     return rows.mapInPandas(run, "orderkey long, value string").orderBy("orderkey")
 
 
+def q_llm_codegen_multi(spark, sf_dir):
+    """M9 multi-option seat on the driver gate (methods/llm_codegen.py
+    LlmCodegenMultiOptionMethod — reference TextGeminiMultiOption.py:
+    14-69 + GeminiRunMultiOption.py:12-97: option-scaled escalation,
+    coverage-first first round, set-compare mistakes; deterministic
+    containment synthesizer in the model slot). Fit runs driver-side on
+    30 bitmask-labeled samples covering every option subset; the
+    synthesized list-returning code then executes distributed over
+    orderkey-bitmask texts (k%8 selects the embedded label subset), and
+    the oracle rebuilds the expected id list with the same bit
+    arithmetic — synthesizer-independent."""
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+    )
+    from trainable_entity_extractor_spark.methods.llm_codegen import (
+        LlmCodegenMultiOptionMethod,
+    )
+
+    labels = ["human rights", "rule of law", "food security"]
+    options = [Option(str(i + 1), lab) for i, lab in enumerate(labels)]
+    ctx = ExtractionContext(
+        ExtractionIdentifier("llm_codegen_multi_entry"), options=options, multi_value=True
+    )
+    method = LlmCodegenMultiOptionMethod()
+    rows = []
+    for i in range(30):
+        labs = [labels[j] for j in range(3) if (i >> j) & 1]
+        rows.append(
+            {
+                "source_text": (
+                    "report covering " + " and ".join(labs) if labs else "empty report"
+                ),
+                "values": [
+                    {"id": o.id, "label": o.label} for o in options if o.label in labs
+                ],
+            }
+        )
+    artifact = method.fit(pd.DataFrame(rows), ctx)
+    assert "options = " in artifact["code"]
+
+    k = F.col("o_orderkey")
+    m = (k % 8).cast("int")
+    text = F.concat_ws(
+        " and ",
+        *[F.when((m.bitwiseAND(1 << j)) != 0, F.lit(labels[j])) for j in range(3)],
+    )
+    pred_rows = (
+        _t(spark, sf_dir, "orders")
+        .filter(k < 2500)
+        .select(
+            k.alias("orderkey"),
+            F.when(text == "", F.lit("nothing relevant"))
+            .otherwise(F.concat(F.lit("memo covering "), text))
+            .alias("source_text"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = method.predict_pandas(pdf, ctx, artifact)
+            yield pd.DataFrame(
+                {
+                    "orderkey": pdf["orderkey"],
+                    "value_ids": [",".join(v["id"] for v in p) for p in preds],
+                }
+            )
+
+    return pred_rows.mapInPandas(run, "orderkey long, value_ids string").orderBy(
+        "orderkey"
+    )
+
+
 def q_scoring_metrics(spark, sf_dir):
     """A5/A6 tournament scoring on the driver gate (extractors/base.py
     micro_f1 / exact_match_accuracy — reference
@@ -3232,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggestion_format": q_suggestion_format,
         "scoring_metrics": q_scoring_metrics,
         "llm_codegen": q_llm_codegen,
+        "llm_codegen_multi": q_llm_codegen_multi,
     }
 
 
@@ -3987,6 +4062,16 @@ def _oracle_sql_base() -> dict[str, str]:
         "llm_codegen": """
             SELECT o_orderkey AS orderkey,
                    'AB-' || (o_orderkey % 9000 + 1000) AS value
+            FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
+        """,
+        "llm_codegen_multi": """
+            SELECT o_orderkey AS orderkey,
+                   -- array_to_string of an EMPTY list is NULL in DuckDB
+                   -- vs Spark's '' — coalesce
+                   coalesce(array_to_string(
+                       list_filter([1, 2, 3],
+                                   x -> ((o_orderkey % 8) >> (x - 1)) & 1 = 1),
+                       ','), '') AS value_ids
             FROM orders WHERE o_orderkey < 2500 ORDER BY orderkey
         """,
         "scoring_metrics": """

@@ -114,3 +114,60 @@ def test_registered_at_reference_slot():
     # reference order: Gemini/Ollama sit after the NER methods, before MT5
     assert names.index("LlmCodegenTextMethod") > names.index("NerLastAppearanceMethod")
     assert names.index("LlmCodegenTextMethod") < names.index("TrueCasingMethod")
+
+
+def test_multi_option_seat():
+    """The multi-option seat: coverage-first first round, set-compare
+    mistakes, option-scaled escalation, labels mapped back to options."""
+    import pandas as pd
+
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+    )
+    from trainable_entity_extractor_spark.methods.llm_codegen import (
+        LlmCodegenMultiOptionMethod,
+    )
+
+    opts = [Option("1", "human rights"), Option("2", "rule of law"), Option("3", "food security")]
+    ctx = ExtractionContext(ExtractionIdentifier("t"), options=opts, multi_value=True)
+    m = LlmCodegenMultiOptionMethod()
+    rows = []
+    for i in range(30):
+        labs = [opts[j].label for j in range(3) if (i >> j) & 1]
+        rows.append(
+            {
+                "source_text": "report covering " + " and ".join(labs) if labs else "empty report",
+                "values": [{"id": o.id, "label": o.label} for o in opts if o.label in labs],
+            }
+        )
+    art = m.fit(pd.DataFrame(rows), ctx)
+    assert "options = " in art["code"]
+    preds = m.predict_pandas(
+        pd.DataFrame({"source_text": ["memo on rule of law and food security", "none"]}),
+        ctx,
+        art,
+    )
+    assert [[v["id"] for v in r] for r in preds] == [["2", "3"], []]
+
+    # single-value contract caps at one option
+    ctx1 = ExtractionContext(ExtractionIdentifier("t1"), options=opts, multi_value=False)
+    rows1 = [
+        {"source_text": f"about {o.label} only", "values": [{"id": o.id, "label": o.label}]}
+        for o in opts
+    ] * 4
+    art1 = m.fit(pd.DataFrame(rows1), ctx1)
+    p1 = m.predict_pandas(
+        pd.DataFrame({"source_text": ["about rule of law only"]}), ctx1, art1
+    )
+    assert [[v["id"] for v in r] for r in p1] == [["2"]]
+
+    # registered at the reference slot: after the fuzzy family
+    from trainable_entity_extractor_spark.methods.text_to_multi_option import (
+        TEXT_TO_MULTI_OPTION_METHODS,
+    )
+
+    names = [c.__name__ for c in TEXT_TO_MULTI_OPTION_METHODS]
+    assert "LlmCodegenMultiOptionMethod" in names
+    assert names.index("LlmCodegenMultiOptionMethod") > names.index("TextFuzzyAll75")

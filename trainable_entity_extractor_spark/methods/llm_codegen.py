@@ -47,13 +47,16 @@ from ..functions import rexpy_lite
 from .base import MethodBase, input_texts_by_lines
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class CodegenSample:
     """GeminiSample analog (GeminiSample.py:7-36): one (input, output)
-    example; prediction samples carry output=''."""
+    example; prediction samples carry output='' (or [] for the
+    multi-option seat). eq=False keeps IDENTITY hash/eq — the reference
+    sets `__hash__ = object.__hash__` for the same reason: list-valued
+    outputs are unhashable, and the dedup sets track sample identity."""
 
     input_text: str
-    output: str = ""
+    output: str | list[str] = ""
 
 
 _EXAMPLE_BLOCK = re.compile(
@@ -268,8 +271,11 @@ class CodegenRun:
         self.mistakes_samples = [
             s
             for s, p in zip(self.non_used_samples, predictions)
-            if p.strip() != s.output.strip()
+            if self._is_mistake(p, s)
         ]
+
+    def _is_mistake(self, prediction, sample: CodegenSample) -> bool:
+        return prediction.strip() != sample.output.strip()
 
     def run_code(self, samples: list[CodegenSample]) -> list[str]:
         if not self.code:
@@ -285,6 +291,124 @@ class CodegenRun:
             except Exception:
                 out.append("")
         return [clean_output(t) for t in out]
+
+
+def build_prompt_multi(
+    samples: list[CodegenSample], options: list[str], multi_value: bool
+) -> str:
+    """GeminiRunMultiOption prompt shape (GeminiRunMultiOption.py:16-51):
+    the allowed-options line plus list-valued example outputs; original
+    wording, machine-readable options line."""
+    opts = ", ".join(f'"{o}"' for o in options)
+    examples = "\n\n".join(
+        f"**Example {i}**\nInput:\n```{s.input_text}```\nOutput:\n```{s.output}```"
+        for i, s in enumerate(samples, 1)
+    )
+    single = "" if multi_value else "\n5. Pick at most one option."
+    return (
+        "**Task**\nInfer which of the allowed options each input maps to "
+        "from the examples and implement it.\n"
+        f"Allowed options: [{opts}]\n\n"
+        f"**Examples**\n{examples}\n\n"
+        "**Requirements**\n"
+        "1. Define a single Python function `extract(text: str)` returning "
+        "a list of option strings.\n"
+        "2. Only return options from the allowed set.\n"
+        "3. Return an empty list when none apply.\n"
+        "4. Return only the function definition in a fenced code block."
+        f"{single}\n\n"
+        "**Output Format**\n```python\ndef extract(text: str):\n    ...\n```"
+    )
+
+
+_OPTIONS_LINE = re.compile(r"Allowed options: \[(.*?)\]")
+
+
+def deterministic_code_model_multi(prompt: str) -> str:
+    """Multi-option synthesizer for the model slot: parses the allowed
+    options and examples back from the prompt and emits a containment
+    classifier (the natural analog of the repo's FuzzyAll100) when it
+    reproduces every example — else an empty-list function."""
+    import ast
+
+    m = _OPTIONS_LINE.search(prompt)
+    options = re.findall(r'"([^"]+)"', m.group(1)) if m else []
+    single = "Pick at most one option" in prompt
+    samples = []
+    for inp, out in _EXAMPLE_BLOCK.findall(prompt):
+        try:
+            parsed = ast.literal_eval(out)
+        except (ValueError, SyntaxError):
+            parsed = []
+        samples.append((inp, parsed if isinstance(parsed, list) else []))
+    cap = "[:1]" if single else ""
+    code = (
+        "def extract(text: str):\n"
+        f"    options = {options!r}\n"
+        "    lowered = text.lower()\n"
+        f"    return [o for o in options if o.lower() in lowered]{cap}\n"
+    )
+    fn = load_extract_function(code)
+    if fn is not None and all(
+        sorted(fn(inp)) == sorted(out) for inp, out in samples
+    ):
+        return f"```python\n{code}```"
+    return "```python\ndef extract(text: str):\n    return []\n```"
+
+
+@dataclass
+class CodegenRunMultiOption(CodegenRun):
+    """GeminiRunMultiOption analog (GeminiRunMultiOption.py:12-97):
+    list-valued outputs, set-compare mistakes, and a coverage-first
+    FIRST escalation round (one sample per option before the seeded
+    random fill)."""
+
+    options: list[str] = field(default_factory=list)
+    multi_value: bool = True
+
+    def _update_data_from_previous_run(self, previous: "CodegenRun") -> None:
+        if not previous.training_samples:
+            selected: list[CodegenSample] = []
+            for option in self.options:
+                for s in previous.mistakes_samples:
+                    if isinstance(s.output, (list, tuple)) and option in s.output:
+                        selected.append(s)
+                        break
+            remaining = [s for s in previous.mistakes_samples if s not in selected]
+            slots = max(0, self.max_training_size - len(selected))
+            random.seed(42)
+            if slots > 0 and remaining:
+                selected += random.sample(remaining, min(slots, len(remaining)))
+            self.training_samples = selected
+            self.non_used_samples = [
+                s for s in previous.mistakes_samples if s not in selected
+            ]
+            self.prompt = build_prompt_multi(
+                self.training_samples, self.options, self.multi_value
+            )
+        else:
+            super()._update_data_from_previous_run(previous)
+            self.prompt = build_prompt_multi(
+                self.training_samples, self.options, self.multi_value
+            )
+
+    def _is_mistake(self, prediction, sample: CodegenSample) -> bool:
+        return set(prediction) != set(sample.output)
+
+    def run_code(self, samples: list[CodegenSample]) -> list[list[str]]:
+        if not self.code:
+            return [[] for _ in samples]
+        fn = load_extract_function(self.code)
+        if fn is None:
+            return [[] for _ in samples]
+        out = []
+        for s in samples:
+            try:
+                r = fn(s.input_text)
+                out.append(list(r) if isinstance(r, (list, tuple)) else [])
+            except Exception:
+                out.append([])
+        return out
 
 
 class LlmCodegenTextMethod(MethodBase):
@@ -334,3 +458,89 @@ class LlmCodegenTextMethod(MethodBase):
             for _, row in pdf.iterrows()
         ]
         return pd.Series(run.run_code(samples), index=pdf.index, dtype=object)
+
+
+class LlmCodegenMultiOptionMethod(MethodBase):
+    """M9 multi-option seat (TextGeminiMultiOption.py:14-69 /
+    TextOllamaMultiOption shape): the same synthesis loop with
+    list-valued outputs, option-scaled escalation sizes
+    (n_options → min(2n,15) → min(4n,45)), and a coverage-first first
+    round. The artifact is the generated source; predict executes it
+    distributed and maps the returned labels back onto ctx.options
+    (first match wins on duplicate labels, Appearance.to_value style)."""
+
+    kind = "multi_option"
+
+    def __init__(
+        self,
+        code_model: Callable[[str], str] | None = deterministic_code_model_multi,
+    ):
+        self.code_model = code_model
+
+    def can_be_used(self, train_pdf, ctx) -> bool:
+        return self.code_model is not None and bool(getattr(ctx, "options", None))
+
+    def fit(self, train_pdf, ctx) -> dict[str, Any]:
+        if self.code_model is None:
+            return {"code": ""}
+        labels = [o.label for o in ctx.options]
+        n = len(labels)
+        samples = [
+            CodegenSample(
+                input_text=" ".join(input_texts_by_lines(row)),
+                output=[v["label"] for v in (row.get("values") or [])],
+            )
+            for _, row in train_pdf.iterrows()
+        ]
+        sizes = [n, min(2 * n, 15), min(4 * n, 45)]
+        runs: list[CodegenRun] = [
+            CodegenRunMultiOption(
+                self.code_model,
+                mistakes_samples=samples,
+                options=labels,
+                multi_value=ctx.multi_value,
+            )
+        ]
+        runs += [
+            CodegenRunMultiOption(
+                self.code_model,
+                max_training_size=size,
+                options=labels,
+                multi_value=ctx.multi_value,
+            )
+            for size in sizes
+        ]
+        for previous, current in zip(runs, runs[1:]):
+            current.run_training(previous)
+            if not current.mistakes_samples:
+                break
+        with_code = [r for r in runs if r.code]
+        if not with_code:
+            return {"code": ""}
+        best = min(with_code, key=lambda r: len(r.mistakes_samples))
+        return {"code": best.code, "prompt": best.prompt}
+
+    def predict_pandas(self, pdf, ctx, artifact) -> pd.Series:
+        run = CodegenRunMultiOption(
+            self.code_model or (lambda p: ""),
+            code=artifact.get("code", ""),
+            options=[o.label for o in ctx.options],
+            multi_value=ctx.multi_value,
+        )
+        samples = [
+            CodegenSample(input_text=" ".join(input_texts_by_lines(row)))
+            for _, row in pdf.iterrows()
+        ]
+        label_to_option = {}
+        for o in ctx.options:
+            label_to_option.setdefault(o.label, o)
+        out = []
+        for labels in run.run_code(samples):
+            out.append(
+                [
+                    label_to_option[lab].to_dict() | {"segment_text": None}
+                    for lab in labels
+                    if lab in label_to_option
+                ]
+            )
+        return pd.Series(out, index=pdf.index, dtype=object)

@@ -241,11 +241,19 @@ TEXT_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     TextFuzzyAll100,
     TextFuzzyAll88,
     TextFuzzyAll75,
-    # Gemini / Ollama slots: network services — absent.
     # TF-IDF one-vs-rest stands in at the SetFit (trainable classifier)
     # slot — same tournament position: only wins when the deterministic
     # methods are imperfect.
 ]
+
+from .llm_codegen import LlmCodegenMultiOptionMethod  # noqa: E402
+
+# M9 Gemini/Ollama multi-option seat: the iterative codegen loop with the
+# deterministic containment synthesizer in the model slot — registered at
+# the reference's position (after the fuzzy family, before the trainable
+# classifier), so it only wins when every deterministic method is
+# imperfect, exactly like the reference's ordering.
+TEXT_TO_MULTI_OPTION_METHODS.append(LlmCodegenMultiOptionMethod)
 
 from .tfidf import TextTfIdf  # noqa: E402  (placed after fuzzy family)
 

@@ -171,3 +171,60 @@ def test_multi_option_seat():
     names = [c.__name__ for c in TEXT_TO_MULTI_OPTION_METHODS]
     assert "LlmCodegenMultiOptionMethod" in names
     assert names.index("LlmCodegenMultiOptionMethod") > names.index("TextFuzzyAll75")
+
+
+def test_pdf_composite_seats():
+    """The reference's PDF Gemini/Ollama seats: filter-segments budget
+    stages wrapping the codegen seat (incl. the both-ends filter), and
+    the composed classes registered after the FastText composites."""
+    import pandas as pd
+
+    from trainable_entity_extractor_spark.domain import (
+        ExtractionContext,
+        ExtractionIdentifier,
+        Option,
+    )
+    from trainable_entity_extractor_spark.methods.pdf_to_multi_option import (
+        PDF_TO_MULTI_OPTION_METHODS,
+    )
+
+    names = [c.__name__ for c in PDF_TO_MULTI_OPTION_METHODS]
+    for expected in (
+        "CleanEndDotDigits1000LlmCodegenMultiOptionMethod",
+        "CleanBeginningDotDigits1000LlmCodegenMultiOptionMethod",
+        "CleanBeginning600End600LlmCodegenMultiOptionMethod",
+    ):
+        assert expected in names
+        assert names.index(expected) > names.index(
+            "CleanEndDotDigits1000TextFastTextMethod"
+        )
+
+    cls = PDF_TO_MULTI_OPTION_METHODS[
+        names.index("CleanBeginningDotDigits1000LlmCodegenMultiOptionMethod")
+    ]
+    opts = [Option("1", "human rights"), Option("2", "rule of law")]
+    ctx = ExtractionContext(ExtractionIdentifier("pdfseat"), options=opts, multi_value=True)
+    m = cls()
+    segs = lambda text: [{"text": text, "page": 1}]
+    rows = []
+    for i in range(12):
+        labs = [opts[j].label for j in range(2) if (i >> j) & 1]
+        rows.append(
+            {
+                "source_text": None,
+                "segments": segs("memo about " + " and ".join(labs) if labs else "memo"),
+                "values": [{"id": o.id, "label": o.label} for o in opts if o.label in labs],
+            }
+        )
+    art = m.fit(pd.DataFrame(rows), ctx)
+    preds = m.predict_pandas(
+        pd.DataFrame(
+            {
+                "source_text": [None],
+                "segments": [segs("note on rule of law")],
+            }
+        ),
+        ctx,
+        art,
+    )
+    assert [[v["id"] for v in r] for r in preds] == [["2"]]

@@ -631,19 +631,34 @@ class FuzzySegmentSelector(_FuzzyBase):
 
 
 def build_filter_text_method(
-    inner_cls: type[MethodBase], filter_name: str, budget: int, from_end: bool
+    inner_cls: type[MethodBase],
+    filter_name: str,
+    budget: int,
+    from_end: bool,
+    both_ends: bool = False,
 ) -> type[MethodBase]:
     """PdfMultiOptionMethod.set_methods(filter, text_method) analog
     (PdfToMultiOptionExtractor.py:116-117): a filter-segments budget
-    stage feeds a text-level multi-option method."""
-    from ..operators.filter_segments import filter_segments_py
+    stage feeds a text-level multi-option method. `both_ends=True`
+    composes the CleanBeginning600End600-style filter instead (budget is
+    then the per-end budget)."""
+    from ..operators.filter_segments import (
+        filter_segments_both_ends,
+        filter_segments_py,
+    )
 
     def _to_text(row) -> str:
         segs = [dict(s) if not isinstance(s, dict) else s for s in (row.get("segments") or [])]
-        kept = filter_segments_py(
-            segs, budget, from_end=from_end, clean_alpha=True, keep_digits=True,
-            keep_dot=True, placeholder_on_empty=True,
-        )
+        if both_ends:
+            kept = filter_segments_both_ends(
+                segs, budget_start=budget, budget_end=budget, clean_alpha=True,
+                keep_digits=True, keep_dot=True, placeholder_on_empty=True,
+            )
+        else:
+            kept = filter_segments_py(
+                segs, budget, from_end=from_end, clean_alpha=True, keep_digits=True,
+                keep_dot=True, placeholder_on_empty=True,
+            )
         return " ".join(s.get("text") or "" for s in kept)
 
     class _Composed(MethodBase):
@@ -682,10 +697,41 @@ def _fasttext_composites() -> list[type[MethodBase]]:
     ]
 
 
+def _llm_codegen_composites() -> list[type[MethodBase]]:
+    """The reference's PDF Gemini/Ollama seats
+    (PdfToMultiOptionExtractor.py:117-123: CleanEndDotDigits1000 /
+    CleanBeginningDotDigits1000 / CleanBeginning600End600 each wrapping
+    PDFGemini/PDFOllamaMultiLabelMethod, which themselves delegate to the
+    text multi-option synthesis loop over the PDF's cleaned text,
+    PDFGeminiMultiLabelMethod.py:12-50): the same three filter
+    compositions around the codegen seat."""
+    from .llm_codegen import LlmCodegenMultiOptionMethod
+
+    return [
+        build_filter_text_method(
+            LlmCodegenMultiOptionMethod, "CleanEndDotDigits1000", 1000, from_end=True
+        ),
+        build_filter_text_method(
+            LlmCodegenMultiOptionMethod,
+            "CleanBeginningDotDigits1000",
+            1000,
+            from_end=False,
+        ),
+        build_filter_text_method(
+            LlmCodegenMultiOptionMethod,
+            "CleanBeginning600End600",
+            600,
+            from_end=False,
+            both_ends=True,
+        ),
+    ]
+
+
 PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     # reference order (PdfToMultiOptionExtractor.py:102-132), external
-    # models (SetFit/Ollama/Gemini composites) excluded; the FastText
-    # composites use the from-scratch numpy classifier (fasttext_like.py)
+    # models (SetFit composites) excluded; the FastText composites use the
+    # from-scratch numpy classifier (fasttext_like.py) and the
+    # Gemini/Ollama composites the codegen seat (llm_codegen.py)
     FuzzyFirst,
     FuzzyLast,
     FuzzyFirstCleanLabel,
@@ -700,4 +746,5 @@ PDF_TO_MULTI_OPTION_METHODS: list[type[MethodBase]] = [
     FastSegmentSelectorFuzzyCommas,
     FuzzySegmentSelector,
     *_fasttext_composites(),
+    *_llm_codegen_composites(),
 ]

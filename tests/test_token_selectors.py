@@ -123,7 +123,10 @@ def test_fuzzy_segment_selector_end_to_end(tmp_path):
 
 
 def test_method_list_matches_reference_order():
-    """PdfToMultiOptionExtractor.py:102-132 minus external models."""
+    """PdfToMultiOptionExtractor.py:102-132 minus external models (the
+    FastText composites use the numpy classifier; the Gemini/Ollama
+    composite seats use the codegen loop with its offline synthesizer,
+    in the reference's position after the FastText composites)."""
     names = [m.__name__ for m in PDF_TO_MULTI_OPTION_METHODS]
     assert names == [
         "FuzzyFirst",
@@ -141,4 +144,7 @@ def test_method_list_matches_reference_order():
         "FuzzySegmentSelector",
         "CleanBeginningDotDigits500TextFastTextMethod",
         "CleanEndDotDigits1000TextFastTextMethod",
+        "CleanEndDotDigits1000LlmCodegenMultiOptionMethod",
+        "CleanBeginningDotDigits1000LlmCodegenMultiOptionMethod",
+        "CleanBeginning600End600LlmCodegenMultiOptionMethod",
     ]

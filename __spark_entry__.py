@@ -225,8 +225,14 @@ def q_region_revenue(spark, sf_dir):
 def q_top_words(spark, sf_dir):
     """A1 word-frequency top-k over documents."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word")).filter(
-        F.col("word") != ""
+    # keyed repartition before the explode: single-row-group input (see
+    # q_exact_dedup note) would otherwise explode+partial-agg on one core.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    words = (
+        d.select("doc_id", "text")
+        .repartition(width, "doc_id")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
     )
     return (
         words.groupBy("word")
@@ -244,8 +250,15 @@ def q_exact_dedup(spark, sf_dir):
     words = F.array_sort(
         F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
     )
+    # early keyed repartition (same rationale as minhash_buckets): the
+    # documents table is a single parquet row group at every SF, so the
+    # interpreted sort/md5 projection would otherwise run on ONE core; at
+    # crawl scale natural input splits make this exchange a no-op.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        d.select("doc_id", F.md5(F.array_join(words, " ")).alias("fp"))
+        d.select("doc_id", "text")
+        .repartition(width, "doc_id")
+        .select("doc_id", F.md5(F.array_join(words, " ")).alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("dup_count") > 1)
@@ -338,31 +351,51 @@ def q_fingerprint_distinct(spark, sf_dir):
 def q_ngram_jaccard_consecutive(spark, sf_dir):
     """near-dup: word-3-gram Jaccard between consecutive doc ids.
 
-    Plan notes (round-3 rework, 3.05 s → ~0.75 s at sf0.1): ONE self-join,
-    no checkpoint job. The measured round-2 bottleneck was neither the
-    array ops nor the string shingles — it was the sf0.1 documents file
-    scanning as a SINGLE partition, so the interpreted shingle projection
-    ran on one core. The explicit repartition on doc_id is the join's own
-    hash exchange done EARLY, before the heavy projection, and is what a
-    crawl-scale input's natural splits would provide for free. int64-
-    hashed shingles keep any later shuffle payload at 8 bytes/element;
-    union size comes from |A|+|B|-|A∩B| (arrays are distinct), halving the
-    per-row array-set work vs intersect+union. (A/B-tested alternatives:
-    numeric xxhash64-combined shingles — no gain over strings once
-    parallel; localCheckpoint — an extra serial materialization job.)"""
-    from trainable_entity_extractor_spark.operators.dedup import word_shingles_hashed
+    Plan notes: the repartition on doc_id (round 3) is the projection's
+    parallelism fix — the documents table is ONE parquet row group at
+    every SF, so without it the interpreted shingle projection runs on a
+    single core; at crawl scale natural input splits make it a no-op.
+    int64-hashed shingles keep the pair exchange at 8 bytes/element;
+    union size comes from |A|+|B|-|A∩B| (arrays are distinct). Round 6
+    replaced the two-sided self-join with a single-projection dual-key
+    emit + min_by/max_by reassembly (see inline comment; plans/r06:
+    2 scans + 3 exchanges + broadcast build → 1 scan + 2 exchanges)."""
+    from trainable_entity_extractor_spark.operators.dedup import with_word_shingles_hashed
 
     d = _t(spark, sf_dir, "documents")
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh = d.select("doc_id", "text").repartition(width, "doc_id").select(
-        "doc_id", word_shingles_hashed(F.col("text"), 3).alias("sh")
+    # Round-6 rework (guide §2.3/§2.4, plans/r06): the old two-sided
+    # self-join scanned documents twice, repartitioned twice, ran the
+    # interpreted shingle projection twice (each side internally ~2x more
+    # via CASE/subtree duplication — see with_word_shingles_hashed), and
+    # built a broadcast of one full shingle side. Now each doc's shingle
+    # array is computed ONCE (staged projections) and emitted under two
+    # keys (its own id and its predecessor's); ONE hash exchange
+    # co-locates each consecutive pair and min_by/max_by reassemble it.
+    # count==2 reproduces the inner join (boundary docs pair nothing).
+    sh = with_word_shingles_hashed(
+        d.select("doc_id", "text").repartition(width, "doc_id")
     )
-    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select((F.col("doc_id") - 1).alias("a"), F.col("sh").alias("sh_b"))
+    e = sh.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("k"), F.lit(0).alias("pos"), F.col("sh").alias("sh")),
+                F.struct((F.col("doc_id") - 1).alias("k"), F.lit(1).alias("pos"), F.col("sh").alias("sh")),
+            )
+        ).alias("e")
+    ).select(F.col("e.k").alias("k"), F.col("e.pos").alias("pos"), F.col("e.sh").alias("sh"))
+    paired = (
+        e.groupBy("k")
+        .agg(
+            F.min_by("sh", "pos").alias("sh_a"),
+            F.max_by("sh", "pos").alias("sh_b"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") == 2)
+    )
     return (
-        a.join(b, "a")
-        .select(
-            F.col("a").alias("doc_id"),
+        paired.select(
+            F.col("k").alias("doc_id"),
             F.size(F.array_intersect("sh_a", "sh_b")).alias("_ni"),
             (F.size("sh_a") + F.size("sh_b")).alias("_ns"),
         )
@@ -380,7 +413,11 @@ def q_cosine_topk(spark, sf_dir):
     from trainable_entity_extractor_spark.operators.similarity import cosine_topk_self
 
     e = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk_self(e, 0, k=10)
+    # keyed repartition before the interpreted dot-product projection:
+    # single-row-group input (see q_exact_dedup note). The broadcast side
+    # (vec_id=0 lookup) still reads the raw table with the pushed filter.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    out = cosine_topk_self(e.repartition(width, "vec_id"), 0, k=10)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -402,12 +439,15 @@ def q_triples_phrases(spark, sf_dir):
     from trainable_entity_extractor_spark.kg.triples import extract_triples, options_df
 
     d = _t(spark, sf_dir, "documents")
+    # keyed repartition before the normalize+contains join: single-row-
+    # group input (see q_exact_dedup note); url is the agg key downstream.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     segments = d.select(
         F.col("doc_id").cast("string").alias("url"),
         F.lit(0).alias("seg_idx"),
         F.lit(1).alias("page"),
         F.col("text"),
-    )
+    ).repartition(width, "url")
     phrases = [
         ("1", "table hash"),
         ("2", "customer join"),

@@ -69,7 +69,13 @@ def test_linking_plan_has_no_pair_join(spark):
     plan = _plan(link_mentions(mentions, threshold=0.5))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "MapInPandas" in plan
-    assert plan.count("Exchange") <= 3  # band shuffle + distinct (+AQE read)
+    # round-6 semi-join pre-filter: the pair-less-block census must reach
+    # the scorer as a broadcast LEFT-SEMI (never a shuffled join of the
+    # signature rows), adding exactly one skinny agg exchange + one
+    # broadcast to the fused shape: census agg + broadcast + band
+    # repartition + distinct = 4 (AQE may append reads, not exchanges)
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange") <= 4
 
 
 def test_lsh_candidate_pairs_keyed_by_band_key(spark):

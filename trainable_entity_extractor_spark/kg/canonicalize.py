@@ -118,27 +118,21 @@ def _driver_union_find(spark, pdf, id_type: T.DataType) -> DataFrame:
     import pyarrow.parquet as pq
 
     # Handoff: parquet under a SHARED scratch dir (see _scratch_dir — the
-    # driver-local tempdir fallback is local-mode-only), eagerly
-    # localCheckpoint-ed into executor block storage.
-    #
-    # Cleanup caveat: localCheckpoint blocks are NOT fault-tolerant — on
-    # executor loss (or block eviction) recomputation re-reads the source
-    # file. Deleting it immediately is safe only in single-JVM local[k]
-    # mode (driver == executor, blocks die with the process anyway); on a
-    # real cluster / local-cluster the delete is DEFERRED to interpreter
-    # exit so a lost executor can still recompute its blocks while the
-    # returned frame is live.
+    # driver-local tempdir fallback is local-mode-only), returned as a
+    # plain scan. Round 6: the eager localCheckpoint copy job is GONE —
+    # it existed only so local mode could delete the file immediately,
+    # but it cost one full fixed-latency job (~0.3 s) in every pipeline
+    # run at EVERY cluster width, i.e. pure Amdahl serial floor for the
+    # scaling pairs. Downstream consumers rescan the (small, local)
+    # parquet instead, which is also re-computable after executor loss on
+    # a real cluster; the file is removed at interpreter exit (cleanup
+    # now registered on every master, not just cluster ones).
     tmp = tempfile.mkdtemp(prefix="tee_uf_", dir=_scratch_dir(spark))
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{tmp}/part-0.parquet")
-    result = spark.read.parquet(tmp).localCheckpoint(eager=True)
-    master = spark.sparkContext.master or ""
-    if master == "local" or master.startswith("local["):
-        shutil.rmtree(tmp, ignore_errors=True)
-    else:
-        import atexit
+    import atexit
 
-        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    return result
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return spark.read.parquet(tmp)
 
 
 def connected_components(

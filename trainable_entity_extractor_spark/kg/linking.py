@@ -201,11 +201,18 @@ def minhash_signatures(
     _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     sig_udf = F.pandas_udf(_sig, T.ArrayType(T.LongType()))
 
-    prenorm = F.substring(normalize_mention(F.col(text_col)), 1, max_chars)
-    return mentions.select(
+    # norm staged once: the old form evaluated normalize_mention (a regex
+    # pass) twice per row — once for the norm column, once inside the
+    # UDF's substring argument. CollapseProject keeps the stage because
+    # the non-cheap alias is referenced twice (SPARK-36718).
+    staged = mentions.select(
         F.col(id_col).alias("mention_id"),
         normalize_mention(F.col(text_col)).alias("norm"),
-        sig_udf(prenorm).alias("sig"),
+    )
+    return staged.select(
+        "mention_id",
+        "norm",
+        sig_udf(F.substring("norm", 1, max_chars)).alias("sig"),
     )
 
 
@@ -323,14 +330,20 @@ def link_mentions_portable(
     block → pair → score semantics end-to-end. Same plan shape: map-only
     signatures, bucketed self-join (never all-pairs), capped blocks.
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # words array staged once (same CollapseProject-guarded pattern as
+    # dedup.minhash_words): n_perms md5-min expressions share one split
+    # instead of re-running the regex split per permutation.
+    words_staged = mentions.select(
+        F.col(id_col).alias("mid"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "").alias("_w"),
+    )
     sig_cols = [
         F.array_min(
-            F.transform(words, lambda x: F.md5(F.concat(F.lit(f"{i}#"), x)))
+            F.transform(F.col("_w"), lambda x: F.md5(F.concat(F.lit(f"{i}#"), x)))
         ).alias(f"mh{i}")
         for i in range(n_perms)
     ]
-    sigs = mentions.select(F.col(id_col).alias("mid"), *sig_cols)
+    sigs = words_staged.select("mid", *sig_cols)
 
     rows_per_band = n_perms // bands
     band_structs = F.array(
@@ -384,6 +397,7 @@ def score_blocks(
     bands: int = DEFAULT_BANDS,
     block_cap: int = 64,
     lane_bits: int = 15,
+    prefilter_broadcast: bool = True,
 ) -> DataFrame:
     """Fused banding + in-block pair scoring.
 
@@ -447,11 +461,36 @@ def score_blocks(
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
+    # Semi-join pre-filter (guide §3.2): drop rows of pair-less blocks
+    # BEFORE the wide exchange + sort + Arrow boundary. Measured at 100k
+    # pages, 68% of banded rows sit in SINGLETON blocks (540k of 795k) and
+    # a further 0.5% in over-cap blocks — none can emit a pair, yet they
+    # dominated the shuffle bytes and the JVM→Python transfer. The block
+    # census is a second, SKINNY pass over the (checkpointed) signatures:
+    # only (band, key) ever shuffles (partial-agg'd 12-byte rows), and the
+    # qualifying key set (~7% of banded rows) broadcasts at ~1 MB here.
+    # At cluster scale with >10^8 qualifying blocks the broadcast no
+    # longer fits: AQE's runtime size check keeps the hint honest locally,
+    # and `prefilter_broadcast=False` lets the planner fall back to a
+    # shuffled semi-join whose big-side exchange is the same (band, key)
+    # hash partitioning the scorer needs anyway.
+    keys_only = sigs.select(F.explode(band_structs).alias("bk")).select(
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    qualifying = (
+        keys_only.groupBy("band", "key")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= block_cap))
+        .select("band", "key")
+    )
+    if prefilter_broadcast:
+        qualifying = F.broadcast(qualifying)
+    pruned = banded.join(qualifying, ["band", "key"], "left_semi")
     # one hash shuffle co-locates each block; an in-partition sort makes
     # blocks contiguous so the scorer streams them without any grouping agg
     spark = sigs.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    arranged = banded.repartition(width, "band", "key").sortWithinPartitions("band", "key")
+    arranged = pruned.repartition(width, "band", "key").sortWithinPartitions("band", "key")
 
     out_schema = T.StructType(
         [

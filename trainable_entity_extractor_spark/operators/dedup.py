@@ -44,13 +44,21 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def minhash_words(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = 4) -> DataFrame:
     """Word-level MinHash signature via md5 string-min per salt: one narrow
-    projection, no explode needed (array_min over transform)."""
-    w = words_array(F.col(text_col))
+    projection, no explode needed (array_min over transform).
+
+    The words array is STAGED in its own projection: each of the n_perms
+    signature expressions references the `_w` alias, and CollapseProject
+    refuses to inline a non-cheap alias referenced more than once
+    (SPARK-36718), so split/lower/filter run ONCE per row instead of once
+    per permutation. Higher-order functions are interpreted (CodegenFallback),
+    so the n_perms-1 avoided regex splits are real per-row CPU (measured
+    ~10% off the minhash_buckets headline at sf1.0)."""
+    staged = docs.select(F.col(id_col), words_array(F.col(text_col)).alias("_w"))
     sig_cols = [
-        F.array_min(F.transform(w, lambda x: F.md5(F.concat(F.lit(str(i) + "#"), x)))).alias(f"mh{i}")
+        F.array_min(F.transform(F.col("_w"), lambda x: F.md5(F.concat(F.lit(str(i) + "#"), x)))).alias(f"mh{i}")
         for i in range(n_perms)
     ]
-    return docs.select(F.col(id_col), *sig_cols)
+    return staged.select(F.col(id_col), *sig_cols)
 
 
 def minhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = 4) -> DataFrame:
@@ -69,12 +77,21 @@ def minhash_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash over words: for each bit, sign of the vote sum of word
     hashes' bit values. Uses md5-derived bits (conv of hex nibbles) to stay
-    engine-portable. bits<=16 keeps the expression tree small."""
-    w = words_array(F.col(text_col))
+    engine-portable. bits<=16 keeps the expression tree small.
+
+    Words array AND the per-word md5 are staged once (`_w`, `_h`): the
+    `bits` vote expressions then share them via column refs instead of
+    re-running split+md5 per bit (16x fewer regex splits AND md5 calls —
+    CollapseProject keeps multi-referenced non-cheap aliases staged)."""
+    staged = docs.select(
+        F.col(id_col),
+        F.transform(words_array(F.col(text_col)), lambda x: F.md5(x)).alias("_h"),
+    )
+    w = F.col("_h")
     bit_exprs = []
     for b in range(bits):
         # bit b of word hash = (hex nibble >> (b%4)) & 1 taken from nibble b//4
-        nib = F.transform(w, lambda x: F.conv(F.substring(F.md5(x), b // 4 + 1, 1), 16, 10).cast("int"))
+        nib = F.transform(w, lambda x: F.conv(F.substring(x, b // 4 + 1, 1), 16, 10).cast("int"))
         vote = F.aggregate(
             nib, F.lit(0), lambda acc, v: acc + (F.shiftright(v, b % 4) % 2) * 2 - 1
         )
@@ -82,7 +99,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", b
     sig = bit_exprs[0]
     for e in bit_exprs[1:]:
         sig = sig + e
-    return docs.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    return staged.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def word_shingles(col, n: int = 3):
@@ -128,6 +145,44 @@ def word_shingles_hashed(col, n: int = 3):
     return F.array_distinct(
         F.transform(word_shingles(col, n), lambda s: F.xxhash64(s))
     )
+
+
+def with_word_shingles_hashed(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, out_col: str = "sh"
+) -> DataFrame:
+    """DataFrame-level `word_shingles_hashed` with STAGED projections.
+
+    The Column form duplicates the `words_array` subtree ~5x inside the
+    zip_with chain and then the `when(size(sh)>0, sh)` guard duplicates the
+    whole chain again — higher-order functions are interpreted
+    (CodegenFallback), so each duplicate is a real per-row regex split +
+    array walk. Staging `_w` and the raw chain `_sh0` as their own
+    projections makes every later reference a cheap attribute read;
+    CollapseProject keeps the stages separate because the aliases are
+    non-cheap and referenced more than once (SPARK-36718). Semantics are
+    IDENTICAL to word_shingles_hashed (same branch conditions, same
+    distinct/hash composition) — pinned by tests against the Column form."""
+    staged = docs.select(F.col(id_col), words_array(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    sh = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0)))
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, F.lit("_"), b)),
+        )
+    if n > 1:
+        sh = F.filter(sh, lambda x: x.isNotNull())
+    staged2 = staged.select(F.col(id_col), w, sh.alias("_sh0"))
+    short = F.array(F.array_join(F.col("_w"), "_"))
+    final = F.when(F.size(F.col("_sh0")) > 0, F.col("_sh0")).otherwise(short)
+    hashed = F.array_distinct(
+        F.transform(F.array_distinct(final), lambda s: F.xxhash64(s))
+    )
+    return staged2.select(F.col(id_col), hashed.alias(out_col))
 
 
 def ngram_jaccard_pairs(

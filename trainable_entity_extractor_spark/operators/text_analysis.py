@@ -28,14 +28,24 @@ def token_count(col):
 def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document quality signals: length, token count, alpha ratio,
     punctuation ratio, stopword ratio, mean word length."""
+    # shared subtrees staged once (round 6): the words array fed 4 output
+    # expressions and the alpha regex 2 — each reference re-ran the
+    # interpreted split / regex per row. CollapseProject keeps the stage
+    # because the non-cheap aliases are multi-referenced (SPARK-36718).
     t = F.col(text_col)
-    n_chars = F.length(t)
-    words = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
-    n_words = F.size(words)
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    stop = F.size(F.filter(words, lambda w: w.isin(*LANG_MARKERS["en"])))
-    return docs.select(
+    staged = docs.select(
+        F.col(id_col),
+        F.length(t).alias("_nc"),
+        F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "").alias("_w"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("_alpha"),
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).alias("_punct"),
+    )
+    n_chars = F.col("_nc")
+    alpha = F.col("_alpha")
+    punct = F.col("_punct")
+    n_words = F.size(F.col("_w"))
+    stop = F.size(F.filter(F.col("_w"), lambda w: w.isin(*LANG_MARKERS["en"])))
+    return staged.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
@@ -49,17 +59,23 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: argmax over marker-hit counts with 'en'
     fallback. Deterministic tie-break by language code."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # words array staged once: the 4 per-language vote structs share it
+    # instead of re-splitting per language (round 6; same CollapseProject
+    # guard as quality_features).
+    staged = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "").alias("_w"),
+    )
     scores = [
         F.struct(
-            F.size(F.filter(words, lambda w: w.isin(*markers))).alias("hits"),
+            F.size(F.filter(F.col("_w"), lambda w: w.isin(*markers))).alias("hits"),
             F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("tie"),  # 'de'<'en'<'es'<'fr' pref by code asc
             F.lit(lang).alias("lang"),
         )
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
     best = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("en")).alias(
             "detected_lang"

@@ -25,10 +25,23 @@ def get_spark(
         cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
 
+    # Scan-split packing floor (guide §6.1): Spark sizes scan splits as
+    # max(openCostInBytes, bytes/minPartitionNum) capped by
+    # maxPartitionBytes. The 4 MB default means any table under
+    # ~4MB*cores scans in a handful of tasks — a 6 MB single-file table
+    # on 32 cores runs as TWO tasks, serializing every interpreted
+    # projection over it. 128 KB keeps small inputs fully parallel; at
+    # cluster scale (files >= 128 MB) bytes/minPartitionNum dominates and
+    # this floor is inert, so the setting is scale-neutral, not a
+    # local-only tune. Parameterised for deployments with real per-file
+    # open latency (object stores want the default or higher).
+    open_cost = os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024))
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.openCostInBytes", open_cost)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -58,8 +58,9 @@ def test_whole_stage_codegen_on_native_path(spark):
 
 def test_linking_plan_has_no_pair_join(spark):
     """The LSH scorer must be the fused sort-based form: one exchange on
-    the band key feeding mapInPandas — no SortMergeJoin/ShuffledHashJoin
-    of a materialized pair set against the signature table."""
+    the band key feeding the Arrow-native scorer — no SortMergeJoin/
+    ShuffledHashJoin of a materialized pair set against the signature
+    table."""
     from trainable_entity_extractor_spark.kg.linking import link_mentions
 
     mentions = spark.createDataFrame(
@@ -68,7 +69,7 @@ def test_linking_plan_has_no_pair_join(spark):
     )
     plan = _plan(link_mentions(mentions, threshold=0.5))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # round-6: scorer is Arrow-native
     # round-6 semi-join pre-filter: the pair-less-block census must reach
     # the scorer as a broadcast LEFT-SEMI (never a shuffled join of the
     # signature rows), adding exactly one skinny agg exchange + one

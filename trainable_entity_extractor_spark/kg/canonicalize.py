@@ -167,10 +167,18 @@ def connected_components(
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     spark = edges.sparkSession
-    n_edges = 2 * edges.count()  # near-free: counts the stored checkpoint
-    if n_edges <= driver_threshold:
-        pdf = edges.toPandas()  # Arrow transfer — far cheaper than row collect
-        return _driver_union_find(spark, pdf, edges.schema["u"].dataType)
+    # size probe and collect MERGED into one job (round 6): the old
+    # count()-then-toPandas() pair cost two full fixed-latency jobs per
+    # pipeline run — pure serial floor at every cluster width. The limit
+    # probe collects at most threshold/2 + 1 edges (Arrow transfer); iff
+    # it comes back under the cap we already hold the data and the
+    # decision (same boundary as 2*count <= threshold). Only the rare
+    # over-threshold path pays the separate count afterwards.
+    cap = driver_threshold // 2
+    probe = edges.limit(cap + 1).toPandas()  # Arrow — far cheaper than row collect
+    if len(probe) <= cap:
+        return _driver_union_find(spark, probe, edges.schema["u"].dataType)
+    n_edges = 2 * edges.count()
 
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = max(2, min(width, n_edges // 50_000 + 1))

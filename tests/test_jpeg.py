@@ -197,3 +197,15 @@ def test_image_phash_mixed_png_jpeg(spark):
     assert out["png/0"] is not None
     assert out["png/0"] == out["jpg/0"]
     assert out["bad/0"] is None
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """ITU-T T.81 B.1.1.2: 0xFF fill bytes may pad the space before any
+    marker; external baseline JPEGs use this legally (ADVICE r5)."""
+    flat = np.full((8, 8), 99, dtype=np.uint8)
+    payload = jpeg_encode(flat, 90)
+    # inject fill bytes before the first post-SOI marker (DQT at offset 2)
+    padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+    dec, meta = jpeg_decode(padded)
+    assert meta["width"] == 8 and meta["height"] == 8
+    assert np.array_equal(dec, jpeg_decode(payload)[0])

@@ -196,3 +196,45 @@ def test_running_totals_across_micro_batches(spark, tmp_path):
         .collect()
     }
     assert final == expect
+
+
+def test_running_totals_string_key(spark, tmp_path):
+    """The output/state struct must derive the key field's type from the
+    input schema — a string-keyed stream used to miscast against the
+    hardcoded `long` (ADVICE r5)."""
+    from trainable_entity_extractor_spark.streaming.micro_batch import running_totals
+
+    df = spark.createDataFrame(
+        [(f"u{i % 3}", i) for i in range(30)], "user string, amount long"
+    )
+    in_dir = str(tmp_path / "rt_str_in")
+    df.repartition(2).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("user string, amount long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        running_totals(stream, "user", "amount")
+        .writeStream.format("memory")
+        .queryName("rt_str_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    final = {
+        r["user"]: (r["n"], r["s"])
+        for r in spark.table("rt_str_test")
+        .groupBy("user")
+        .agg(F.max("n_so_far").alias("n"), F.max("total_so_far").alias("s"))
+        .collect()
+    }
+    expect = {
+        r["user"]: (r["n"], r["s"])
+        for r in df.groupBy("user")
+        .agg(F.count("*").alias("n"), F.sum("amount").alias("s"))
+        .collect()
+    }
+    assert final == expect

@@ -282,6 +282,11 @@ def jpeg_decode(payload: bytes) -> tuple[np.ndarray, dict]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may pad the
+        # space before a marker — skip them so legal external baseline
+        # JPEGs don't read a 0xFF "marker" and get rejected (ADVICE r5)
+        while payload[pos + 1] == 0xFF and pos + 5 <= len(payload):
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -114,9 +114,12 @@ def running_totals(
             {key_col: [key[0]], "n_so_far": [n], "total_so_far": [total]}
         )
 
+    # key field type derived from the input schema (ADVICE r5): a string-
+    # keyed stream previously failed/miscast against the hardcoded `long`
+    key_type = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, n_so_far long, total_so_far long",
+        outputStructType=f"{key_col} {key_type}, n_so_far long, total_so_far long",
         stateStructType="n long, total long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -632,6 +632,14 @@ def link_mentions(
 
     Signatures are localCheckpointed (the banding consumes the Python
     MinHash stage once, but without materialization Catalyst would re-run
-    it for any second consumer of the returned edges)."""
-    sigs = minhash_signatures(mentions, id_col, text_col, n_perms).localCheckpoint(eager=False)
+    it for any second consumer of the returned edges). Projected to
+    (mention_id, sig) FIRST: a checkpoint stores every column it is
+    handed — column pruning cannot reach across the materialization
+    barrier — and the scorer never reads `norm` (round 6; ~100 B/row of
+    stored+rescanned payload dropped)."""
+    sigs = (
+        minhash_signatures(mentions, id_col, text_col, n_perms)
+        .select("mention_id", "sig")
+        .localCheckpoint(eager=False)
+    )
     return score_blocks(sigs, threshold, n_perms, bands, block_cap)

@@ -30,6 +30,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _repartition_if_big(df: DataFrame, spark: SparkSession, key: str, min_bytes: int = 4 << 20) -> DataFrame:
+    """Scale-adaptive early exchange (guide §2.5: derive partitioning from
+    input size, don't tune a constant to one scale). The small tables are
+    single parquet row groups at every SF, so a heavy interpreted
+    projection fused into the scan runs on ONE core — an early keyed
+    repartition fixes that, but below a few MB of input the exchange
+    costs more than the serialization it removes (measured at sf0.1:
+    exact_dedup 0.35→0.64 WITH a forced repartition; at sf1.0 the same
+    exchange is a 2x win). Decide from the scanned bytes, driver-side
+    (inputFiles + stat — no Spark job). At crawl scale inputs pass the
+    threshold trivially and arrive pre-split, making the exchange a
+    cheap no-op re-key."""
+    try:
+        size = 0
+        for f in df.inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            size += os.path.getsize(p)
+    except Exception:
+        size = min_bytes  # unknown layout: keep the scale-safe branch
+    if size >= min_bytes:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return df.repartition(width, key)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship KG pipeline over synthetic pages derived at sf0.001 scale
 # ---------------------------------------------------------------------------
@@ -225,12 +250,11 @@ def q_region_revenue(spark, sf_dir):
 def q_top_words(spark, sf_dir):
     """A1 word-frequency top-k over documents."""
     d = _t(spark, sf_dir, "documents")
-    # keyed repartition before the explode: single-row-group input (see
-    # q_exact_dedup note) would otherwise explode+partial-agg on one core.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive repartition before the explode (single-row-group
+    # input; see _repartition_if_big — the explode+partial-agg is cheap
+    # enough per row that only big inputs repay the exchange)
     words = (
-        d.select("doc_id", "text")
-        .repartition(width, "doc_id")
+        _repartition_if_big(d.select("doc_id", "text"), spark, "doc_id")
         .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )
@@ -250,14 +274,10 @@ def q_exact_dedup(spark, sf_dir):
     words = F.array_sort(
         F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != ""))
     )
-    # early keyed repartition (same rationale as minhash_buckets): the
-    # documents table is a single parquet row group at every SF, so the
-    # interpreted sort/md5 projection would otherwise run on ONE core; at
-    # crawl scale natural input splits make this exchange a no-op.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # scale-adaptive early repartition before the interpreted sort/md5
+    # projection (single-row-group input; see _repartition_if_big)
     return (
-        d.select("doc_id", "text")
-        .repartition(width, "doc_id")
+        _repartition_if_big(d.select("doc_id", "text"), spark, "doc_id")
         .select("doc_id", F.md5(F.array_join(words, " ")).alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_id"))
@@ -413,11 +433,11 @@ def q_cosine_topk(spark, sf_dir):
     from trainable_entity_extractor_spark.operators.similarity import cosine_topk_self
 
     e = _t(spark, sf_dir, "embeddings")
-    # keyed repartition before the interpreted dot-product projection:
-    # single-row-group input (see q_exact_dedup note). The broadcast side
-    # (vec_id=0 lookup) still reads the raw table with the pushed filter.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    out = cosine_topk_self(e.repartition(width, "vec_id"), 0, k=10)
+    # scale-adaptive repartition before the interpreted dot-product
+    # projection (single-row-group input; see _repartition_if_big). The
+    # broadcast side (vec_id=0 lookup) still reads the raw table with
+    # the pushed filter.
+    out = cosine_topk_self(_repartition_if_big(e, spark, "vec_id"), 0, k=10)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 

@@ -2623,6 +2623,44 @@ def _synth_three_segments(spark, sf_dir, texts, pages):
     )
 
 
+def _grouped_doc_kernel(spark, seg_df, run_one, schema, key_col="doc_id", sort_col="seg_idx"):
+    """Per-document Python kernel via ONE mapInPandas pass over
+    key-partitioned, key-sorted batches (round 6, guide §2.3/§4).
+    `groupBy(key).applyInPandas` makes a Python call + a fresh pandas
+    frame per GROUP — at ~1,800 two-row groups that plumbing dominated
+    the kernel 3:1 (cross_page_fix / sentence_resegment: 4.7 s → ~1 s
+    spark-side at sf0.01). Groups may straddle Arrow batch boundaries;
+    the trailing group is carried over, same pattern as
+    kg/linking.score_blocks (groups here are <= 3 rows by construction,
+    so the carry is bounded). `run_one` receives exactly what
+    applyInPandas passed before: one group's full frame."""
+    import numpy as np
+    import pandas as pd_mod
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    arranged = seg_df.repartition(width, key_col).sortWithinPartitions(key_col, sort_col)
+
+    def _run(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd_mod.concat([carry, pdf], ignore_index=True)
+            keys = pdf[key_col].to_numpy()
+            change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+            last_start = int(change[-1]) if len(change) else 0
+            carry = pdf.iloc[last_start:]
+            head = pdf.iloc[:last_start]
+            if len(head):
+                out = [run_one(g) for _, g in head.groupby(key_col, sort=False)]
+                yield pd_mod.concat(out, ignore_index=True)
+        if carry is not None and len(carry):
+            yield run_one(carry.reset_index(drop=True))
+
+    return arranged.mapInPandas(_run, schema=schema)
+
+
 def q_cross_page_fix(spark, sf_dir):
     """W10 cross-page segment fix on the driver gate
     (methods/pdf_to_multi_option.py fix_two_pages_segments —
@@ -2631,7 +2669,7 @@ def q_cross_page_fix(spark, sf_dir):
     all three branches: variant 0 (no trailing '.' + next text segment on
     a LATER page) must merge and drop the absorbed segment; variant 1
     (no '.' but same page) and variant 2 (trailing '.') must not. The
-    kernel runs per-document via applyInPandas; the oracle rebuilds the
+    kernel runs per-document (batched mapInPandas, round 6); the oracle rebuilds the
     expected segment lists from the o_orderkey % 3 formula, never from
     the kernel."""
     import pandas as pd_mod
@@ -2666,11 +2704,9 @@ def q_cross_page_fix(spark, sf_dir):
             }
         )
 
-    return (
-        seg_df.groupBy("doc_id")
-        .applyInPandas(run, schema="doc_id long, out_idx int, page int, text string")
-        .orderBy("doc_id", "out_idx")
-    )
+    return _grouped_doc_kernel(
+        spark, seg_df, run, "doc_id long, out_idx int, page int, text string"
+    ).orderBy("doc_id", "out_idx")
 
 
 def q_sentence_resegment(spark, sf_dir):
@@ -2725,11 +2761,9 @@ def q_sentence_resegment(spark, sf_dir):
             }
         )
 
-    return (
-        seg_df.groupBy("doc_id")
-        .applyInPandas(run, schema="doc_id long, sent_idx int, text string")
-        .orderBy("doc_id", "sent_idx")
-    )
+    return _grouped_doc_kernel(
+        spark, seg_df, run, "doc_id long, sent_idx int, text string"
+    ).orderBy("doc_id", "sent_idx")
 
 
 def q_fuzzy_commas(spark, sf_dir):

@@ -5,7 +5,10 @@ OllamaTextMethod.py — same shape, different client) are NOT chat
 extractors: they are iterative PROGRAM SYNTHESIS. Each training round
 builds a prompt from (input, output) examples, asks the model for a
 self-contained Python `extract(text)` function, extracts the fenced code
-block, executes it in a restricted namespace, scores it on the held-out
+block, executes it in a curated namespace (pre-imported stdlib modules, but
+FULL builtins — like the reference's exec path, NOT a sandbox: a hosted
+LLM plugged into `code_model` runs unsandboxed model code), scores it
+on the held-out
 samples, and feeds the MISTAKES into the next, larger round
 (max_training_size 5 → 15 → 45, seeded random.sample of prior mistakes);
 the code with the fewest mistakes is persisted and predict just runs it.
@@ -23,7 +26,7 @@ implements the full loop from scratch with that call behind a pluggable
   hypothesis consistent with EVERY example (else a function returning
   ''). Weaker than a frontier LLM by construction, and documented so —
   but the generated artifact is real code, executed by the same
-  restricted-exec path the reference uses.
+  (unsandboxed) exec path the reference uses.
 - a Gemini/Ollama client drops in as `code_model=lambda prompt:
   client(...)` without touching anything else (the reference's
   `_set_code_from_model`, GeminiRun.py:67-73, is exactly this shape).

@@ -437,7 +437,7 @@ def q_cosine_topk(spark, sf_dir):
     # projection (single-row-group input; see _repartition_if_big). The
     # broadcast side (vec_id=0 lookup) still reads the raw table with
     # the pushed filter.
-    out = cosine_topk_self(_repartition_if_big(e, spark, "vec_id"), 0, k=10)
+    out = cosine_topk_self(_repartition_if_big(e, spark, "vec_id"), 0, k=10, lookup=e)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -459,15 +459,22 @@ def q_triples_phrases(spark, sf_dir):
     from trainable_entity_extractor_spark.kg.triples import extract_triples, options_df
 
     d = _t(spark, sf_dir, "documents")
-    # keyed repartition before the normalize+contains join: single-row-
-    # group input (see q_exact_dedup note); url is the agg key downstream.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    segments = d.select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.lit(0).alias("seg_idx"),
-        F.lit(1).alias("page"),
-        F.col("text"),
-    ).repartition(width, "url")
+    # scale-adaptive repartition before the normalize+contains join
+    # (single-row-group input; url is the agg key downstream, so this
+    # exchange also replaces the aggregation's own — measured a win down
+    # to sf0.1, hence the lower threshold than the default 4 MB; below
+    # ~256 KB the exchange is pure overhead)
+    segments = _repartition_if_big(
+        d.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(0).alias("seg_idx"),
+            F.lit(1).alias("page"),
+            F.col("text"),
+        ),
+        spark,
+        "url",
+        min_bytes=256 << 10,
+    )
     phrases = [
         ("1", "table hash"),
         ("2", "customer join"),
@@ -2631,12 +2638,15 @@ def _grouped_doc_kernel(spark, seg_df, run_one, schema, key_col="doc_id", sort_c
     the kernel 3:1 (cross_page_fix / sentence_resegment: 4.7 s → ~1 s
     spark-side at sf0.01). Groups may straddle Arrow batch boundaries;
     the trailing group is carried over, same pattern as
-    kg/linking.score_blocks (groups here are <= 3 rows by construction,
-    so the carry is bounded). `run_one` receives exactly what
-    applyInPandas passed before: one group's full frame."""
+    kg/linking.score_blocks. The carry is guarded by `max_group_rows`
+    (fail fast with a clear error instead of quadratic re-concats if a
+    future caller feeds groups larger than an Arrow batch); current
+    callers have <= 3 rows per group by construction. `run_one` receives
+    exactly what applyInPandas passed before: one group's full frame."""
     import numpy as np
     import pandas as pd_mod
 
+    max_group_rows = 100_000
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     arranged = seg_df.repartition(width, key_col).sortWithinPartitions(key_col, sort_col)
 
@@ -2646,6 +2656,12 @@ def _grouped_doc_kernel(spark, seg_df, run_one, schema, key_col="doc_id", sort_c
             if len(pdf) == 0:
                 continue
             if carry is not None:
+                if len(carry) > max_group_rows:
+                    raise ValueError(
+                        f"_grouped_doc_kernel: group {carry[key_col].iloc[0]!r} exceeds "
+                        f"{max_group_rows} rows; this helper is for small per-document "
+                        "groups — use an explicit bounded operator instead"
+                    )
                 pdf = pd_mod.concat([carry, pdf], ignore_index=True)
             keys = pdf[key_col].to_numpy()
             change = np.flatnonzero(keys[1:] != keys[:-1]) + 1

@@ -126,7 +126,13 @@ def _driver_union_find(spark, pdf, id_type: T.DataType) -> DataFrame:
     # scaling pairs. Downstream consumers rescan the (small, local)
     # parquet instead, which is also re-computable after executor loss on
     # a real cluster; the file is removed at interpreter exit (cleanup
-    # now registered on every master, not just cluster ones).
+    # now registered on every master, not just cluster ones). Trade-off,
+    # documented: a LONG-LIVED driver that calls connected_components
+    # many times accumulates one small dir per call until exit — the
+    # price of keeping the returned frame re-scannable without a copy
+    # job. Such services should point spark.tee.scratch.dir at a volume
+    # sized for it (or periodically restart the session); the bench /
+    # batch lifecycle this engine targets holds a handful at most.
     tmp = tempfile.mkdtemp(prefix="tee_uf_", dir=_scratch_dir(spark))
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False), f"{tmp}/part-0.parquet")
     import atexit

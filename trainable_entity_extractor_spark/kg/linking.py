@@ -410,7 +410,6 @@ def score_blocks(
     twice was >80% of pipeline wall-time at 400k pages. Cost now: ONE
     groupBy shuffle carrying signatures, then a map stage.
     """
-    import pandas as pd
     from pyspark.sql import types as T
 
     rows_per_band = n_perms // bands
@@ -451,10 +450,10 @@ def score_blocks(
             F.element_at("sig", i + 1).bitwiseAND(F.lit(32767)).cast("smallint").alias(f"s{i}")
             for i in range(n_perms)
         ]
-        lane_dtype = "int16"
     else:  # full-width lanes (A/B reference path)
         sig_cols = [F.element_at("sig", i + 1).alias(f"s{i}") for i in range(n_perms)]
-        lane_dtype = "int64"
+    # (the scorer reads the lane matrix with to_numpy(), so the numpy
+    # dtype follows the column type above — no separate cast needed)
     banded = sigs.select("mention_id", "sig", F.explode(band_structs).alias("bk")).select(
         "mention_id",
         *sig_cols,
@@ -627,6 +626,7 @@ def link_mentions(
     n_perms: int = DEFAULT_PERMS,
     bands: int = DEFAULT_BANDS,
     block_cap: int = 64,
+    prefilter_broadcast: bool = True,
 ) -> DataFrame:
     """Full Stage D: mentions → similarity edges (a, b, jaccard).
 
@@ -642,4 +642,7 @@ def link_mentions(
         .select("mention_id", "sig")
         .localCheckpoint(eager=False)
     )
-    return score_blocks(sigs, threshold, n_perms, bands, block_cap)
+    return score_blocks(
+        sigs, threshold, n_perms, bands, block_cap,
+        prefilter_broadcast=prefilter_broadcast,
+    )

@@ -47,11 +47,20 @@ def cosine_topk_self(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lookup: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k neighbors of a vector already in the table (broadcast the
-    1-row query side; the scan side never shuffles)."""
+    1-row query side; the scan side never shuffles).
+
+    `lookup` (round 6): optional frame to resolve the query vector from.
+    When the caller pre-repartitions the scan side, deriving the 1-row
+    broadcast from the SAME frame would drag that exchange under the
+    BroadcastExchange too; passing the raw table here keeps the lookup a
+    pushed-filter point read."""
     q = F.broadcast(
-        embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+        (lookup if lookup is not None else embeddings)
+        .filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("qvec"))
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qv = F.transform(F.col("qvec"), lambda x: x.cast("double"))
